@@ -1,0 +1,287 @@
+"""Column-model base machinery: state pytrees, the adaptive time-step
+controller, and jit-compiled march-to-equilibrium drivers.
+
+This is the TPU-native re-design of the reference ``Atmosphere`` base class
+(/root/reference/Model/radiation/base.py:76-335).  The reference drives a Python
+while-loop mutating NumPy arrays on ``self``; here the whole march runs as a
+``lax.while_loop`` over an immutable state pytree resident in HBM, with the
+branchy scalar bookkeeping of ``update_time_step`` (base.py:197-246) re-expressed
+as masked vector/scalar ops so it jits and vmaps over ensemble axes:
+
+  * ``time_step_info`` dict        -> TimeStepInfo dataclass of scalars + masks
+  * ``RemoveInd`` list             -> boolean ``removed`` mask
+  * oscillation/stagnation counts  -> int32 scalars updated with jnp.where
+  * per-step percentile/argmax     -> jnp reductions over the flattened grid
+
+Semantics follow base.py line-for-line (cited inline) so equilibrium endpoints
+match the NumPy reference to the <0.1 K target.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from ..constants import g, c_p_dry, sigma, SECONDS_PER_DAY, SECONDS_PER_YEAR
+from ..ops.convection import convective_adjustment
+
+
+# --------------------------------------------------------------------------
+# Host-side helpers (base.py:10-73)
+# --------------------------------------------------------------------------
+
+def round_any(x, base, round_type='round'):
+    """Round x to the nearest multiple of base (base.py:10-20)."""
+    fn = {'round': np.round, 'ceil': np.ceil, 'floor': np.floor}[round_type]
+    return base * fn(x / base)
+
+
+def t_years_days(t):
+    """Seconds -> (whole years, remaining days) (base.py:23-27)."""
+    t_full_days = t / SECONDS_PER_DAY
+    t_years, t_days = divmod(t_full_days, 365)
+    return t_years, t_days
+
+
+def latitudinal_solar_distribution(latitude, c=0.477):
+    """Annually-averaged insolation factor S(phi) = 1 - c/2 (3 sin^2 phi - 1),
+    trapz-normalised so integral(0.5 S cos phi dphi) = 1 (base.py:30-48,
+    North 1975)."""
+    latitude = np.asarray(latitude, dtype=np.float64)
+    if latitude.size > 1:
+        lat_r = np.radians(latitude)
+        lat_dist = 1 - 0.5 * c * (3 * np.sin(lat_r) ** 2 - 1)
+        norm = np.trapz(0.5 * lat_dist * np.cos(lat_r), lat_r)
+        return lat_dist / norm
+    return np.ones_like(latitude)
+
+
+def get_isothermal_temp(albedo, F_stellar=None, latitude=None, T_star=None,
+                        R_star=None, star_planet_dist=None):
+    """Equilibrium temperature of a bare planet (base.py:51-73)."""
+    if F_stellar is None:
+        F_stellar = sigma * T_star ** 4 * R_star ** 2 / star_planet_dist ** 2
+    if latitude is not None:
+        F_stellar = F_stellar * latitudinal_solar_distribution(latitude)
+    return np.power(F_stellar / sigma * (1 - np.asarray(albedo)) / 4, 0.25)
+
+
+# --------------------------------------------------------------------------
+# State pytrees
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class TimeStepInfo:
+    """Vectorised form of the reference time_step_info dict (base.py:125-128)."""
+    delta_t: jnp.ndarray          # 'DeltaT': current target max |dT| per step (K)
+    max_delta_t: jnp.ndarray      # 'MaxDeltaT': ceiling for delta_t
+    delta_t_step: jnp.ndarray     # 'DeltaT_step': increment for delta_t
+    max_tend: jnp.ndarray         # 'MaxTend': tendency at the controlling level
+    max_tend_ind: jnp.ndarray     # 'MaxTendInd': flat index of controlling level
+    dt: jnp.ndarray               # 'dt': current time step (s)
+    n_same_1: jnp.ndarray         # 'nSameMaxInd' (oscillation count)
+    n_same_2: jnp.ndarray         # 'nSameMaxInd2' (agreement count)
+    removed: jnp.ndarray          # 'RemoveInd' as bool mask [(nz-1)*ny]
+    convective: jnp.ndarray       # 'convective_levels' as bool mask [(nz-1)*ny]
+
+
+@struct.dataclass
+class ColumnState:
+    """Radiative column state: all arrays live in HBM, orientation is the
+    owning model's (grey: surface-first; real-gas: TOA-first)."""
+    T: jnp.ndarray                # [nz-1, ny] cell temperatures
+    net_flux: jnp.ndarray         # [nz, ny] net interface flux (up - down)
+    t: jnp.ndarray                # scalar: simulated time (s)
+    tsi: TimeStepInfo
+
+
+def init_time_step_info(n_levels_flat: int, temp_change: float = 1.0,
+                        delta_temp_change: float = 0.01,
+                        dtype=jnp.float32) -> TimeStepInfo:
+    f = lambda v: jnp.asarray(v, dtype)
+    return TimeStepInfo(
+        delta_t=f(temp_change), max_delta_t=f(temp_change),
+        delta_t_step=f(delta_temp_change), max_tend=f(0.0),
+        max_tend_ind=jnp.asarray(-1, jnp.int32), dt=f(0.0),
+        n_same_1=jnp.asarray(0, jnp.int32), n_same_2=jnp.asarray(0, jnp.int32),
+        removed=jnp.zeros((n_levels_flat,), bool),
+        convective=jnp.zeros((n_levels_flat,), bool))
+
+
+def reset_time_step_info(tsi: TimeStepInfo) -> TimeStepInfo:
+    """Post-equilibrium reset (base.py:329-334)."""
+    return tsi.replace(removed=jnp.zeros_like(tsi.removed),
+                       n_same_1=jnp.zeros_like(tsi.n_same_1),
+                       n_same_2=jnp.zeros_like(tsi.n_same_2),
+                       max_tend_ind=jnp.full_like(tsi.max_tend_ind, -1))
+
+
+# --------------------------------------------------------------------------
+# Adaptive time step (base.py:197-246)
+# --------------------------------------------------------------------------
+
+def update_time_step(tsi: TimeStepInfo, T_tendency_flat, allowed) -> TimeStepInfo:
+    """Pick dt so the fastest-changing allowed level moves by delta_t kelvin,
+    with oscillation shrink / agreement grow / freeze bookkeeping.
+
+    :param T_tendency_flat: [(nz-1)*ny] temperature tendencies (K/s).
+    :param allowed: bool [(nz-1)*ny], the ``levels_to_update`` mask.
+    """
+    masked = jnp.where(allowed, jnp.abs(T_tendency_flat), -jnp.inf)
+    max_ind = jnp.argmax(masked).astype(jnp.int32)
+    max_tend = T_tendency_flat[max_ind]
+
+    same = max_ind == tsi.max_tend_ind
+    flipped = jnp.sign(max_tend) != jnp.sign(tsi.max_tend)
+    osc = same & flipped                                   # base.py:211-217
+    grow = same & ~flipped & (tsi.delta_t < tsi.max_delta_t)  # base.py:218-225
+    reset = ~osc & ~grow                                   # base.py:226-228
+
+    delta_t = jnp.where(
+        osc, jnp.maximum(tsi.delta_t - tsi.delta_t_step, tsi.delta_t_step),
+        jnp.where(grow, jnp.minimum(tsi.delta_t + tsi.delta_t_step,
+                                    tsi.max_delta_t), tsi.delta_t))
+    n1 = jnp.where(osc, tsi.n_same_1 + 1, jnp.where(reset, 0, tsi.n_same_1))
+    n2 = jnp.where(grow, tsi.n_same_2 + 1, jnp.where(reset, 0, tsi.n_same_2))
+
+    # prolonged oscillation/stagnation freezes the controlling level
+    # (base.py:230-239)
+    n_removed = jnp.sum(tsi.removed)
+    freeze = ((n1 > 1) & (n2 > 10)) | ((n1 > 20) & (n2 == 0)) | \
+             ((n_removed > 3) & ((n1 + n2) > 0))
+    removed = tsi.removed.at[max_ind].set(tsi.removed[max_ind] | freeze)
+    n1 = jnp.where(freeze, 0, n1)
+    n2 = jnp.where(freeze, 0, n2)
+
+    dt = delta_t / jnp.abs(max_tend)
+    dt = jnp.where(jnp.isfinite(dt), dt, float(SECONDS_PER_DAY))  # base.py:244-246
+    return tsi.replace(delta_t=delta_t, max_tend=max_tend, max_tend_ind=max_ind,
+                       dt=dt, n_same_1=n1, n_same_2=n2, removed=removed)
+
+
+# --------------------------------------------------------------------------
+# Temperature update (base.py:130-195)
+# --------------------------------------------------------------------------
+
+def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
+                changing_tau: bool = False, convective_adjust: bool = False,
+                net_flux_thresh: float = 1e-7, net_flux_percentile: float = 95,
+                conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0):
+    """One finite-volume temperature update with adaptive dt.
+
+    :param net_flux: [nz, ny] freshly computed net flux.
+    :param p_interface: [nz, ny] interface pressures (model's own orientation).
+    :param p_centre_col: [nz-1] cell-centre pressures of column 0, descending
+        (surface first) — used by convective adjustment.
+    :return: (new_state, delta_net_flux)
+    """
+    T = state.T
+    tsi = state.tsi
+    n_flat = T.size
+    # finite volume tendency dT/dt = g/c_p * dF/dp (base.py:166-168)
+    T_tendency = g / c_p_dry * (net_flux[1:, :] - net_flux[:-1, :]) / (
+        p_interface[1:, :] - p_interface[:-1, :])
+    tend_flat = T_tendency.reshape(-1)
+
+    first_or_forced = (state.t <= 0) | bool(changing_tau)
+    # stagnant levels (|net flux| small) and frozen levels stop updating
+    # (base.py:169-177)
+    active = jnp.abs(net_flux[:-1, :].reshape(-1)) > net_flux_thresh
+    allowed = jnp.where(first_or_forced, jnp.ones((n_flat,), bool),
+                        active & ~tsi.removed)
+    delta_net_flux = jnp.where(
+        first_or_forced, jnp.asarray(1e6, T.dtype),
+        jnp.percentile(jnp.abs(net_flux - state.net_flux), net_flux_percentile
+                       ).astype(T.dtype))
+
+    any_allowed = jnp.any(allowed)
+    tsi_new = update_time_step(tsi, tend_flat, allowed)
+    tsi = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(any_allowed, new, old), tsi_new, tsi)
+    # convective-region speed-up (base.py:182-183)
+    dt = tsi.dt
+    if convective_adjust:
+        in_conv = tsi.convective[tsi.max_tend_ind]
+        dt = jnp.where(any_allowed & in_conv, dt * conv_t_multiplier, dt)
+        tsi = tsi.replace(dt=dt)
+
+    T_new = jnp.where(allowed.reshape(T.shape), T + dt * T_tendency, T)
+
+    if convective_adjust:
+        T_adj = convective_adjustment(p_centre_col, T_new)
+        conv_mask = allowed & (jnp.abs(T_adj.reshape(-1) - T_new.reshape(-1))
+                               > conv_thresh)             # base.py:190-192
+        tsi = tsi.replace(convective=conv_mask)
+        T_new = T_adj
+
+    new_state = state.replace(T=T_new, net_flux=net_flux, t=state.t + dt, tsi=tsi)
+    return new_state, delta_net_flux
+
+
+def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3):
+    """max|F_net| < thresh or delta F < thresh (base.py:248-264)."""
+    return (jnp.max(jnp.abs(net_flux)) < flux_thresh) | (delta_net_flux < flux_thresh)
+
+
+# --------------------------------------------------------------------------
+# March to equilibrium (base.py:266-335)
+# --------------------------------------------------------------------------
+
+class EquilibriumInfo(NamedTuple):
+    steps: jnp.ndarray
+    delta_net_flux: jnp.ndarray
+    flux_thresh: jnp.ndarray
+    failed: jnp.ndarray            # temperature went negative (base.py:319-320)
+    equilibrium: jnp.ndarray
+
+
+def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
+                          p_interface, p_centre_col, *, flux_thresh: float = 1e-3,
+                          convective_adjust: bool = False, t_end: float = 4.0,
+                          conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
+                          net_flux_thresh: float = 1e-7,
+                          net_flux_percentile: float = 95,
+                          max_steps: int = 500_000):
+    """jit-compiled while-loop march to radiative(-convective) equilibrium.
+
+    :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
+        radiation operator.
+    :param t_end: hard cap in simulated years (base.py:322).
+    :return: (final ColumnState, EquilibriumInfo)
+    """
+    dtype = state.T.dtype
+    t0 = state.t
+    ft0 = jnp.asarray(flux_thresh, dtype)
+
+    def body(carry):
+        st, ft, _delta, i, _eqb, _failed = carry
+        net = net_flux_fn(st.T)
+        st, delta = update_temp(st, net, p_interface, p_centre_col,
+                                changing_tau=False,
+                                convective_adjust=convective_adjust,
+                                net_flux_thresh=net_flux_thresh,
+                                net_flux_percentile=net_flux_percentile,
+                                conv_thresh=conv_thresh,
+                                conv_t_multiplier=conv_t_multiplier)
+        # second iteration tightens the threshold (base.py:315-317)
+        ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
+        eqb = check_equilibrium(st.net_flux, delta, ft)
+        failed = jnp.min(st.T) < 0
+        timed_out = (st.t - t0) / SECONDS_PER_YEAR > t_end
+        return st, ft, delta, i + 1, eqb | timed_out, failed
+
+    def cond(carry):
+        _st, _ft, _delta, i, eqb, failed = carry
+        return ~eqb & ~failed & (i < max_steps)
+
+    init = (state, ft0, jnp.asarray(1e6, dtype), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(False))
+    st, ft, delta, i, eqb, failed = lax.while_loop(cond, body, init)
+    st = st.replace(tsi=reset_time_step_info(st.tsi))
+    return st, EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
+                               failed=failed, equilibrium=eqb)

@@ -1,0 +1,482 @@
+"""Grey-gas two-stream radiative column model, TPU-native.
+
+Re-design of the reference ``GreyGas`` (/root/reference/Model/radiation/grey.py:15-504):
+
+  * grid construction stays host-side NumPy (shape-determining, grey.py:129-249);
+  * the per-level flux recursion (grey.py:251-275) becomes a log-depth
+    associative scan (ops/two_stream.py);
+  * the march to equilibrium (base.py:266-335) is a single ``lax.while_loop``;
+  * all forcing (dtau grids, albedo, stellar constant) enters the compiled step
+    as a dynamic pytree, so parameter sweeps (ice-albedo hysteresis, time-varying
+    tau scenarios) never retrigger compilation;
+  * the sympy-powered analytic equilibrium with short-wave absorber
+    (ShortWavelengthEqbCalc, grey.py:507-647) is replaced by the hand-derived
+    closed form (binomial expansion + incomplete-gamma antiderivatives).
+
+Array orientation matches the reference grey model: axis 0 index 0 = surface,
+index nz-1 = top of atmosphere (descending pressure).
+"""
+from __future__ import annotations
+
+import functools
+import math
+import warnings
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants import (F_sun, SECONDS_PER_YEAR, g, p_surface_earth,
+                         p_toa_earth, sigma)
+from ..ops import optical_depth as od
+from ..ops.convection import convective_adjustment
+from ..ops.two_stream import lw_flux, sw_flux
+from ..utils import grids
+from . import column
+from .column import (ColumnState, EquilibriumInfo, get_isothermal_temp,
+                     init_time_step_info, latitudinal_solar_distribution)
+
+
+@struct.dataclass
+class GreyForcing:
+    """Dynamic inputs to the compiled grey radiation step."""
+    dtau: jnp.ndarray                # [nz-1, ny] |d tau_lw| across cells
+    tau_sw_interface: jnp.ndarray    # [nz, ny] short-wave optical depth
+    albedo_mod: jnp.ndarray          # [ny] albedo * exp(-2 tau_sw_surface)
+    solar_latitude_factor: jnp.ndarray  # [ny]
+    F_stellar: jnp.ndarray           # [] stellar constant (W/m^2)
+
+
+def grey_fluxes(T, forcing: GreyForcing):
+    """All four interface flux arrays from cell temperatures (grey.py:251-294)."""
+    up_toa = (1.0 - forcing.albedo_mod) * forcing.solar_latitude_factor * \
+        forcing.F_stellar / 4.0
+    up_lw, down_lw = lw_flux(T, forcing.dtau, up_toa, surface_first=True)
+    up_sw, down_sw = sw_flux(forcing.tau_sw_interface, forcing.albedo_mod,
+                             forcing.solar_latitude_factor, forcing.F_stellar)
+    return up_lw, down_lw, up_sw, down_sw
+
+
+def grey_net_flux(T, forcing: GreyForcing):
+    up_lw, down_lw, up_sw, down_sw = grey_fluxes(T, forcing)
+    return up_lw - down_lw + up_sw - down_sw
+
+
+@functools.partial(jax.jit, static_argnames=('changing_tau', 'convective_adjust',
+                                             'net_flux_percentile'))
+def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_col,
+               changing_tau=False, convective_adjust=False, net_flux_thresh=1e-7,
+               net_flux_percentile=95, conv_thresh=1e-5, conv_t_multiplier=5.0):
+    """One compiled take_time_step (grey.py:296-344): fluxes then temp update."""
+    up_lw, down_lw, up_sw, down_sw = grey_fluxes(state.T, forcing)
+    net = up_lw - down_lw + up_sw - down_sw
+    state, delta = column.update_temp(
+        state, net, p_interface, p_centre_col, changing_tau=changing_tau,
+        convective_adjust=convective_adjust, net_flux_thresh=net_flux_thresh,
+        net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
+        conv_t_multiplier=conv_t_multiplier)
+    return state, delta, (up_lw, down_lw, up_sw, down_sw)
+
+
+@functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
+                                             'net_flux_percentile'))
+def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
+                 p_centre_col, flux_thresh, convective_adjust=False, t_end=4.0,
+                 conv_thresh=1e-5, conv_t_multiplier=5.0, net_flux_thresh=1e-7,
+                 net_flux_percentile=95, max_steps=500_000):
+    net_fn = lambda T: grey_net_flux(T, forcing)
+    return column.evolve_to_equilibrium(
+        state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
+        convective_adjust=convective_adjust, t_end=t_end, conv_thresh=conv_thresh,
+        conv_t_multiplier=conv_t_multiplier, net_flux_thresh=net_flux_thresh,
+        net_flux_percentile=net_flux_percentile, max_steps=max_steps)
+
+
+class GreyGas:
+    """User-facing grey-gas column model mirroring the reference state API
+    (grey.py:17-106): same constructor vocabulary, same attribute names."""
+
+    def __init__(self, nz, ny, tau_lw_func, tau_lw_func_args, tau_sw_func=None,
+                 tau_sw_func_args=None, F_stellar_constant=F_sun, albedo=0.3,
+                 temp_change=1.0, delta_temp_change=0.01,
+                 p_surface=p_surface_earth, p_toa=p_toa_earth, dtype=None):
+        self.ny = int(ny)
+        self.p_surface = float(p_surface)
+        self.p_toa = float(p_toa)
+        self.F_stellar_constant = float(F_stellar_constant)
+        self.temp_change = float(temp_change)
+        self.delta_temp_change = float(delta_temp_change)
+        self.dtype = dtype or jnp.zeros(0).dtype
+
+        self.latitude = np.linspace(-90, 90, self.ny)
+        if callable(albedo):                      # base.py:111-117
+            self.albedo = np.asarray(albedo(self.latitude), dtype=np.float64)
+        else:
+            self.albedo = np.broadcast_to(np.asarray(albedo, np.float64),
+                                          (self.ny,)).copy()
+        self.solar_latitude_factor = np.asarray(
+            latitudinal_solar_distribution(self.latitude), np.float64)
+        self.T0 = get_isothermal_temp(self.albedo, self.F_stellar_constant,
+                                      self.latitude)
+
+        # tau profiles with p_surface pinned (grey.py:108-127)
+        self.tau_lw_func = tau_lw_func
+        self.tau_lw_func_args = tuple(tau_lw_func_args)
+        self.tau_sw_func = tau_sw_func
+        self.tau_sw_func_args = tuple(tau_sw_func_args) if tau_sw_func_args else None
+        self._build_profiles()
+
+        # pressure grid: host-side, frozen shapes (grey.py:129-249)
+        p_col, self.nz = grids.grey_p_grid(
+            self._lw, self._sw if not self.sw_tau_is_zero else None, nz,
+            p_surface=self.p_surface, p_toa=self.p_toa)
+        self.p_interface = np.tile(p_col[:, None], (1, self.ny))
+        self.p = grids.cell_centre_pressure(self.p_interface)
+        self._refresh_tau_grids()
+
+        # initial condition: isothermal energy balance (grey.py:98-105)
+        T = np.ones((self.nz - 1, self.ny)) * self.T0
+        self.F_sw0 = (1 - self.albedo_mod) * self.solar_latitude_factor * \
+            self.F_stellar_constant / 4
+        up_lw = np.ones((self.nz, self.ny)) * self.F_sw0
+        down_lw = np.zeros((self.nz, self.ny))
+        up_sw, down_sw = np.asarray(sw_flux(
+            jnp.asarray(self.tau_sw_interface), jnp.asarray(self.albedo_mod),
+            jnp.asarray(self.solar_latitude_factor), self.F_stellar_constant,
+            isothermal=True))
+        net = up_lw - down_lw + up_sw - down_sw
+        self._state = ColumnState(
+            T=jnp.asarray(T, self.dtype), net_flux=jnp.asarray(net, self.dtype),
+            t=jnp.asarray(0.0, self.dtype),
+            tsi=init_time_step_info((self.nz - 1) * self.ny, self.temp_change,
+                                    self.delta_temp_change, self.dtype))
+        self._fluxes = tuple(jnp.asarray(a, self.dtype)
+                             for a in (up_lw, down_lw, up_sw, down_sw))
+
+    # ---------------- host-side grid/profile management ----------------
+
+    def _build_profiles(self):
+        self._lw = od.make_profile(self.tau_lw_func, self.tau_lw_func_args,
+                                   self.p_surface)
+        if self.tau_sw_func is not None:
+            self._sw = od.make_profile(self.tau_sw_func, self.tau_sw_func_args
+                                       or (), self.p_surface)
+        else:
+            self._sw = None
+        # expose the pinned full arg tuples like the reference does
+        self.tau_lw_func_args = self._lw.args
+        if self._sw is not None:
+            self.tau_sw_func_args = self._sw.args
+        self.sw_tau_is_zero = self._sw is None or self._sw.is_zero  # grey.py:81
+
+    def _refresh_tau_grids(self):
+        """(Re)compute tau/q grids on the fixed pressure grid — also the
+        ``update_grid`` path for changing forcing (grey.py:346-358)."""
+        self.tau_interface = np.asarray(self._lw.tau(self.p_interface))
+        self.q = np.asarray(self._lw.q(self.p))
+        self.tau = np.asarray(self._lw.tau(self.p))
+        self.dtau = np.abs(self.tau_interface[1:] - self.tau_interface[:-1])
+        if not self.sw_tau_is_zero:
+            self.tau_sw_interface = np.asarray(self._sw.tau(self.p_interface))
+            self.q_sw = np.asarray(self._sw.q(self.p))
+            self.tau_sw = np.asarray(self._sw.tau(self.p))
+            # albedo correction for the missing exp(tau_surface) term
+            # (grey.py:91-94)
+            self.albedo_mod = self.albedo * np.exp(-2 * self.tau_sw_interface[0])
+        else:
+            self.tau_sw_interface = np.zeros_like(self.tau_interface)
+            self.q_sw = np.zeros_like(self.q)
+            self.tau_sw = np.zeros_like(self.tau)
+            self.albedo_mod = self.albedo
+
+    def update_grid(self):
+        """Re-evaluate tau after mutating tau_*_func_args (grey.py:346-358)."""
+        self._build_profiles()
+        self._refresh_tau_grids()
+
+    @property
+    def forcing(self) -> GreyForcing:
+        d = self.dtype
+        return GreyForcing(
+            dtau=jnp.asarray(self.dtau, d),
+            tau_sw_interface=jnp.asarray(self.tau_sw_interface, d),
+            albedo_mod=jnp.asarray(self.albedo_mod, d),
+            solar_latitude_factor=jnp.asarray(self.solar_latitude_factor, d),
+            F_stellar=jnp.asarray(self.F_stellar_constant, d))
+
+    # ---------------- state views (reference attribute parity) ----------------
+
+    @property
+    def T(self):
+        return np.asarray(self._state.T)
+
+    @T.setter
+    def T(self, value):
+        self._state = self._state.replace(T=jnp.asarray(value, self.dtype))
+
+    @property
+    def net_flux(self):
+        return np.asarray(self._state.net_flux)
+
+    @property
+    def up_lw_flux(self):
+        return np.asarray(self._fluxes[0])
+
+    @property
+    def down_lw_flux(self):
+        return np.asarray(self._fluxes[1])
+
+    @property
+    def up_sw_flux(self):
+        return np.asarray(self._fluxes[2])
+
+    @property
+    def down_sw_flux(self):
+        return np.asarray(self._fluxes[3])
+
+    @property
+    def state(self) -> ColumnState:
+        return self._state
+
+    # ---------------- stepping ----------------
+
+    def take_time_step(self, t, T_initial=None, changing_tau=False,
+                       convective_adjust=False, net_flux_thresh=1e-7,
+                       net_flux_percentile=95, conv_thresh=1e-5,
+                       conv_t_multiplier=5):
+        """One time step (grey.py:296-344).  Returns (t, delta_net_flux)."""
+        if changing_tau:
+            self.update_grid()
+        if t == 0 and T_initial is not None:
+            self.T = T_initial
+        self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
+        self._state, delta, self._fluxes = _grey_step(
+            self._state, self.forcing, jnp.asarray(self.p_interface, self.dtype),
+            jnp.asarray(self.p[:, 0], self.dtype), changing_tau=changing_tau,
+            convective_adjust=convective_adjust, net_flux_thresh=net_flux_thresh,
+            net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
+            conv_t_multiplier=conv_t_multiplier)
+        return float(self._state.t), float(delta)
+
+    def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
+                              T_initial=None, convective_adjust=False, save=True,
+                              t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
+                              verbose=False) -> dict:
+        """March to equilibrium (base.py:266-335).
+
+        save=False runs a single fused lax.while_loop on device (fast path);
+        save=True steps through a compiled step from the host, appending
+        snapshots for animation like the reference data_dict.
+        """
+        if T_initial is not None and float(self._state.t) == 0:
+            self.T = T_initial
+        if data_dict is None:
+            data_dict = {'t': [float(self._state.t)], 'T': [self.T.copy()]}
+        else:
+            self._state = self._state.replace(
+                t=jnp.asarray(data_dict['t'][-1], self.dtype))
+
+        if not save:
+            self._state, info = _grey_evolve(
+                self._state, self.forcing,
+                jnp.asarray(self.p_interface, self.dtype),
+                jnp.asarray(self.p[:, 0], self.dtype),
+                jnp.asarray(flux_thresh, self.dtype),
+                convective_adjust=convective_adjust, t_end=float(t_end),
+                conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier)
+            self._equilibrium_info = jax.tree_util.tree_map(np.asarray, info)
+            if bool(info.failed):
+                raise ValueError('Temperature is below zero')
+            # refresh flux views at the equilibrium temperature
+            self._fluxes = tuple(
+                jnp.asarray(a) for a in grey_fluxes(self._state.T, self.forcing))
+            data_dict['t'].append(float(self._state.t))
+            data_dict['T'].append(self.T.copy())
+            return data_dict
+
+        t = data_dict['t'][-1]
+        t0_years = t / SECONDS_PER_YEAR
+        equilibrium = False
+        i = 0
+        while not equilibrium:
+            t, delta = self.take_time_step(t, changing_tau=False,
+                                           convective_adjust=convective_adjust,
+                                           conv_thresh=conv_thresh,
+                                           conv_t_multiplier=conv_t_multiplier)
+            data_dict = self.save_data(data_dict, t)
+            if i == 1:
+                flux_thresh = min(flux_thresh, 0.99 * delta)
+            equilibrium = bool(column.check_equilibrium(
+                self._state.net_flux, delta, flux_thresh))
+            if self.T.min() < 0:
+                raise ValueError('Temperature is below zero')
+            if t / SECONDS_PER_YEAR - t0_years > t_end:
+                equilibrium = True
+            if verbose:
+                print(f't = {t / SECONDS_PER_YEAR:.3f} yr, '
+                      f'delta_net_flux = {delta:.4f}', end='\r')
+            i += 1
+        self._state = self._state.replace(
+            tsi=column.reset_time_step_info(self._state.tsi))
+        return data_dict
+
+    def save_data(self, data_dict, t):
+        """Append snapshot arrays (grey.py:360-383)."""
+        data_dict['t'].append(t)
+        data_dict['T'].append(self.T.copy())
+        if 'tau' in data_dict:
+            data_dict['tau']['lw'].append(self.tau.copy())
+            data_dict['tau']['sw'].append(self.tau_sw.copy())
+        if 'flux' in data_dict:
+            data_dict['flux']['lw_up'].append(self.up_lw_flux)
+            data_dict['flux']['lw_down'].append(self.down_lw_flux)
+            data_dict['flux']['sw_up'].append(self.up_sw_flux)
+            data_dict['flux']['sw_down'].append(self.down_sw_flux)
+        return data_dict
+
+    # ---------------- analytic equilibrium oracles (grey.py:385-451) ----------
+
+    def equilibrium_sol(self, convective_adjust=False):
+        """Analytic radiative-equilibrium profiles for the current grids.
+
+        Returns (up_lw, down_lw, T_eqb, up_sw, down_sw, correct_solution), where
+        correct_solution is False if the short-wave absorber had to be ignored
+        (only exponential lw+sw with integer alpha ratio < 10 admits the closed
+        form, grey.py:406-428).
+        """
+        if self.sw_tau_is_zero:
+            correct = True
+        elif self._lw.name == 'exponential' and self._sw.name == 'exponential':
+            alpha_lw = self._lw.params[1]
+            alpha_sw = self._sw.params[1]
+            ratio = alpha_lw / alpha_sw
+            correct = abs(round(ratio) - ratio) < 1e-5 and ratio < 10
+            if not correct:
+                warnings.warn(
+                    'Exact solution needs integer alpha_lw/alpha_sw < 10; got '
+                    f'{ratio}. Returning the tau_sw = 0 solution.')
+        else:
+            warnings.warn(
+                'Exact solution needs exponential lw and sw profiles; got '
+                f'{self._lw.name} / {self._sw.name}. Returning the tau_sw = 0 '
+                'solution.')
+            correct = False
+
+        if not self.sw_tau_is_zero and correct:
+            calc = GreySwEquilibrium(self.F_stellar_constant,
+                                     float(np.asarray(self.albedo_mod).ravel()[0]),
+                                     self._lw, self._sw)
+            up_lw = calc.up_lw_flux(self.tau_sw_interface)
+            down_lw = calc.down_lw_flux(self.tau_sw_interface)
+            T_eqb = calc.T(self.tau_sw)
+            up_sw = calc.up_sw_flux(self.tau_sw_interface)
+            down_sw = calc.down_sw_flux(self.tau_sw_interface)
+        else:
+            # closed form with no short-wave absorber (grey.py:441-448)
+            up_lw = 0.5 * self.F_sw0 * (2 + self.tau_interface)
+            down_lw = 0.5 * self.F_sw0 * self.tau_interface
+            T_eqb = np.power((self.F_sw0 / (2 * sigma)) * (1 + self.tau), 0.25)
+            up_sw = np.ones_like(up_lw) * self.albedo_mod * \
+                self.F_stellar_constant / 4
+            down_sw = np.ones_like(up_lw) * self.F_stellar_constant / 4
+        if convective_adjust:
+            T_eqb = np.asarray(convective_adjustment(
+                jnp.asarray(self.p[:, 0]), jnp.asarray(T_eqb)))
+        return up_lw, down_lw, T_eqb, up_sw, down_sw, correct
+
+    def __str__(self):
+        return 'Grey Gas'
+
+
+class GreySwEquilibrium:
+    """Closed-form radiative equilibrium with exponential lw + sw absorbers.
+
+    Replaces the sympy machinery of ShortWavelengthEqbCalc (grey.py:507-647).
+    With tau_lw = c1 (e^{a1 p} - 1) and tau_sw = c2 (e^{a2 p} - 1) and integer
+    n = a1/a2, tau_lw(tau_sw) = c1 ((t2/c2 + 1)^n - 1), so D = d tau1/d tau2 =
+    (c1 n / c2)(t2/c2 + 1)^{n-1} and the optical-depth integral
+
+        I(t2) = int D(t2) (e^{-t2} - A e^{t2}) dt2
+
+    expands binomially into sums of int t^k e^{-/+t} dt, which have elementary
+    antiderivatives.  The flux/temperature formulas follow grey.py:608-627:
+
+        sigma T^4 = F/8 [ (e^{-t2} + A e^{t2}) / D + I(t2) + C ],
+        C = 1 - A - I(0),
+        F_lw_down = sigma T^4 - F/8 [ (e^{-t2} + A e^{t2}) / D + e^{-t2} - A e^{t2} ],
+        F_lw_up = F_lw_down + F_sw_down - F_sw_up.
+
+    Note the reference substitutes the solar constant F_sun in the down_lw
+    expression even when F_stellar differs (grey.py:617); we use F_stellar
+    consistently (identical for the default F_stellar = F_sun).
+    """
+
+    def __init__(self, F_stellar_const, albedo_mod, lw_profile, sw_profile):
+        if np.size(albedo_mod) > 1:
+            raise ValueError(
+                'Must provide a single latitude bin to get analytical solution')
+        c1, a1 = lw_profile.params
+        c2, a2 = sw_profile.params
+        n = a1 / a2
+        if abs(round(n) - n) > 1e-5 or n >= 10:
+            raise ValueError('alpha_lw/alpha_sw must be an integer < 10')
+        self.n = int(round(n))
+        self.c1, self.c2 = float(c1), float(c2)
+        self.F = float(F_stellar_const)
+        self.A = float(albedo_mod)
+        self._I0 = self._integral(np.array(0.0))
+        self.C = 1 - self.A - self._I0
+
+    def _D(self, t2):
+        """d tau_lw / d tau_sw."""
+        return (self.c1 * self.n / self.c2) * (t2 / self.c2 + 1) ** (self.n - 1)
+
+    @staticmethod
+    def _int_tk_exp_neg(t, k):
+        """Antiderivative of t^k e^{-t}: -e^{-t} sum_j k!/j! t^j."""
+        s = sum(math.factorial(k) / math.factorial(j) * t ** j
+                for j in range(k + 1))
+        return -np.exp(-t) * s
+
+    @staticmethod
+    def _int_tk_exp_pos(t, k):
+        """Antiderivative of t^k e^{+t}: e^{t} sum_j (-1)^{k-j} k!/j! t^j."""
+        s = sum((-1) ** (k - j) * math.factorial(k) / math.factorial(j) * t ** j
+                for j in range(k + 1))
+        return np.exp(t) * s
+
+    def _integral(self, t2):
+        """I(t2) = int D (e^{-t} - A e^{t}) dt, constant-free antiderivative."""
+        t2 = np.asarray(t2, dtype=np.float64)
+        pref = self.c1 * self.n / self.c2
+        total = np.zeros_like(t2)
+        for k in range(self.n):
+            binom = math.comb(self.n - 1, k) * self.c2 ** (-k)
+            total = total + binom * (self._int_tk_exp_neg(t2, k)
+                                     - self.A * self._int_tk_exp_pos(t2, k))
+        return pref * total
+
+    def sigma_T4(self, t2):
+        t2 = np.asarray(t2, dtype=np.float64)
+        return self.F / 8 * ((np.exp(-t2) + self.A * np.exp(t2)) / self._D(t2)
+                             + self._integral(t2) + self.C)
+
+    def T(self, t2):
+        return (self.sigma_T4(t2) / sigma) ** 0.25
+
+    def up_sw_flux(self, t2):
+        return self.A * self.F / 4 * np.exp(np.asarray(t2, np.float64))
+
+    def down_sw_flux(self, t2):
+        return self.F / 4 * np.exp(-np.asarray(t2, np.float64))
+
+    def down_lw_flux(self, t2):
+        t2 = np.asarray(t2, dtype=np.float64)
+        return self.sigma_T4(t2) - self.F / 8 * (
+            (np.exp(-t2) + self.A * np.exp(t2)) / self._D(t2)
+            + np.exp(-t2) - self.A * np.exp(t2))
+
+    def up_lw_flux(self, t2):
+        return self.down_lw_flux(t2) + self.down_sw_flux(t2) - self.up_sw_flux(t2)

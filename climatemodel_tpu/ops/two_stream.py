@@ -1,0 +1,126 @@
+"""Two-stream grey radiative flux operators.
+
+The reference computes long-wave up/down fluxes with a sequential per-level Python
+loop (GreyGas.get_lw_flux, /root/reference/Model/radiation/grey.py:251-275):
+
+    up[i]   = up[i+1]   * exp(+dtau[i]) + sigma*T[i]^4 * (1 - exp(+dtau[i]))
+    down[i] = down[i+1] * exp(-dtau[i]) + sigma*T[i]^4 * (1 - exp(-dtau[i]))
+
+with the boundary condition at the top of the atmosphere (index -1 in the
+reference's surface-first ordering): up = net absorbed stellar flux, down = 0.
+
+Each of these is a first-order affine recurrence x_{k+1} = a_k x_k + b_k, which we
+evaluate in log-depth with ``lax.associative_scan`` over the composition monoid
+(a, b) o (a', b') = (a a', a' b + b').  Both streams are solved in one scan by
+stacking them as a leading channel axis.  Short-wave fluxes are the closed-form
+Beer law (grey.py:277-294) and need no scan.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import sigma
+
+
+def affine_scan(a, b, x0, reverse=False):
+    """Solve x_{k+1} = a_k * x_k + b_k for k = 0..n-1 along axis 0.
+
+    :param a, b: arrays [n, ...] of recurrence coefficients.
+    :param x0: array [...] initial value.
+    :param reverse: if True, solves x_k = a_k * x_{k+1} + b_k with x_n = x0
+        (i.e. the recurrence runs from the last element towards the first).
+    :return: array [n+1, ...]; element 0 (or n if reverse) equals x0.
+    """
+    if reverse:
+        a = jnp.flip(a, axis=0)
+        b = jnp.flip(b, axis=0)
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    A, B = lax.associative_scan(combine, (a, b), axis=0)
+    xs = A * x0 + B
+    out = jnp.concatenate([jnp.expand_dims(x0, 0), xs], axis=0)
+    if reverse:
+        out = jnp.flip(out, axis=0)
+    return out
+
+
+def lw_flux(T, dtau, up_flux_toa, surface_first=True):
+    """Grey long-wave up/down fluxes at interfaces from cell temperatures.
+
+    :param T: [nz-1, ...] cell temperatures.
+    :param dtau: [nz-1, ...] |optical depth difference| across each cell.
+    :param up_flux_toa: [...] top-of-atmosphere upward flux boundary condition
+        ((1-albedo_mod) * solar_latitude_factor * F_stellar / 4, grey.py:265).
+    :param surface_first: orientation of axis 0 (True matches the reference grey
+        model: index 0 = surface, index nz-1 = TOA).
+    :return: (up_lw_flux, down_lw_flux) at interfaces, shape [nz, ...].
+    """
+    e_plus = jnp.exp(dtau)
+    e_minus = jnp.exp(-dtau)
+    source = sigma * T ** 4
+    # channel axis: 0 = up-stream, 1 = down-stream
+    a = jnp.stack([e_plus, e_minus])
+    b = jnp.stack([source * (1.0 - e_plus), source * (1.0 - e_minus)])
+    x_toa = jnp.stack([jnp.broadcast_to(up_flux_toa, T.shape[1:]),
+                       jnp.zeros(T.shape[1:], T.dtype)])
+    flux = affine_scan(jnp.moveaxis(a, 0, 1), jnp.moveaxis(b, 0, 1), x_toa,
+                       reverse=surface_first)
+    up = flux[:, 0]
+    down = flux[:, 1]
+    return up, down
+
+
+def lw_flux_sequential(T, dtau, up_flux_toa, surface_first=True):
+    """Reference-ordering sequential evaluation of the same recurrence via
+    ``lax.scan`` — numerically identical composition order to the NumPy loop;
+    used for validation and as a fallback for extreme optical depths."""
+    source = sigma * T ** 4
+    if surface_first:
+        source_s = jnp.flip(source, 0)
+        dtau_s = jnp.flip(dtau, 0)
+    else:
+        source_s, dtau_s = source, dtau
+
+    def step(carry, inp):
+        up, down = carry
+        src, dt = inp
+        ep, em = jnp.exp(dt), jnp.exp(-dt)
+        up = up * ep + src * (1.0 - ep)
+        down = down * em + src * (1.0 - em)
+        return (up, down), (up, down)
+
+    init = (jnp.broadcast_to(up_flux_toa, T.shape[1:]).astype(T.dtype),
+            jnp.zeros(T.shape[1:], T.dtype))
+    _, (ups, downs) = lax.scan(step, init, (source_s, dtau_s))
+    up = jnp.concatenate([init[0][None], ups], 0)
+    down = jnp.concatenate([init[1][None], downs], 0)
+    if surface_first:
+        up, down = jnp.flip(up, 0), jnp.flip(down, 0)
+    return up, down
+
+
+def sw_flux(tau_sw_interface, albedo_mod, solar_latitude_factor, F_stellar,
+            isothermal=False):
+    """Beer-law short-wave fluxes at interfaces (grey.py:277-294).
+
+    ``tau_sw_interface`` may be None (or all zeros) for a transparent short-wave
+    atmosphere; ``isothermal=True`` returns the no-atmosphere fluxes used for the
+    initial condition (grey.py:104).
+    """
+    base_up = albedo_mod * solar_latitude_factor * F_stellar / 4.0
+    base_down = solar_latitude_factor * F_stellar / 4.0
+    if tau_sw_interface is None or isothermal:
+        if tau_sw_interface is not None:
+            up = jnp.broadcast_to(base_up, tau_sw_interface.shape)
+            down = jnp.broadcast_to(base_down, tau_sw_interface.shape)
+            return up, down
+        return base_up, base_down
+    up = base_up * jnp.exp(tau_sw_interface)
+    down = base_down * jnp.exp(-tau_sw_interface)
+    return up, down

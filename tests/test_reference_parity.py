@@ -1,0 +1,134 @@
+"""Numerical parity against the *executed* NumPy reference.
+
+tests/reference_harness.py stubs the reference's only missing dependency
+(sympl) with the same constant values our framework inlines, then runs the
+actual /root/reference code as an oracle.  These tests pin:
+
+  * grid-builder parity (identical p_interface for fixed and 'auto' nz),
+  * step-for-step trajectory parity of the adaptive-dt march,
+  * equilibrium endpoint parity (<0.1 K, the BASELINE.md target),
+  * convective adjustment parity on reference profiles.
+"""
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+import reference_harness as rh
+from climatemodel_tpu.constants import p_surface_earth
+from climatemodel_tpu.models.grey import GreyGas
+
+pytestmark = pytest.mark.skipif(not rh.reference_available(),
+                                reason='reference tree not mounted')
+
+
+def _make_pair(nz=50, ny=1, lw_args=(0.22 * p_surface_earth, 4.0),
+               sw_name=None, sw_args=None, **kw):
+    ref_grey, ref_od = rh.import_reference_grey()
+    ref = ref_grey.GreyGas(nz=nz, ny=ny, tau_lw_func=ref_od.scale_height,
+                           tau_lw_func_args=list(lw_args),
+                           tau_sw_func=getattr(ref_od, sw_name) if sw_name else None,
+                           tau_sw_func_args=list(sw_args) if sw_args else None,
+                           **kw)
+    mine = GreyGas(nz=nz, ny=ny, tau_lw_func='scale_height',
+                   tau_lw_func_args=list(lw_args), tau_sw_func=sw_name,
+                   tau_sw_func_args=list(sw_args) if sw_args else None, **kw)
+    return ref, mine
+
+
+def test_grid_and_initial_state_identical():
+    ref, mine = _make_pair(nz=50)
+    assert ref.nz == mine.nz
+    np.testing.assert_array_equal(ref.p_interface, mine.p_interface)
+    np.testing.assert_allclose(ref.tau_interface, mine.tau_interface,
+                               atol=1e-12)
+    np.testing.assert_allclose(ref.T, mine.T, atol=1e-12)
+    np.testing.assert_allclose(ref.net_flux, mine.net_flux, atol=1e-12)
+
+
+def test_auto_grid_identical():
+    ref, mine = _make_pair(nz='auto')
+    assert ref.nz == mine.nz
+    np.testing.assert_array_equal(ref.p_interface, mine.p_interface)
+
+
+def test_trajectory_parity_300_steps():
+    """The compiled adaptive-dt march follows the reference's trajectory —
+    same dt, same controller decisions, temperatures within roundoff drift."""
+    ref, mine = _make_pair(nz=50)
+    t_r = t_m = 0.0
+    # exact controller-decision parity over the first ~80 steps; beyond that
+    # roundoff drift (~1e-6 K) can flip argmax ties between near-degenerate
+    # levels, after which paths differ in detail but not in endpoint.
+    for i in range(80):
+        t_r, d_r = ref.take_time_step(t_r)
+        t_m, d_m = mine.take_time_step(t_m)
+        assert np.isclose(ref.time_step_info['dt'],
+                          float(mine.state.tsi.dt), rtol=1e-6), f'step {i}'
+        assert np.isclose(d_r, d_m, rtol=1e-4), f'step {i}'
+    assert np.abs(ref.T - mine.T).max() < 1e-4
+    assert len(ref.time_step_info['RemoveInd']) == \
+        int(np.asarray(mine.state.tsi.removed).sum())
+
+
+def test_equilibrium_endpoint_parity():
+    """Converged equilibria agree to <0.1 K in the optically active region
+    (the BASELINE.md target).  Optically-thin top levels are radiatively
+    decoupled (tendency ~ dtau ~ 0): their values are path-dependent in the
+    reference itself, so they are excluded.  Two evolve calls are used, as in
+    reference experiments, because the reference's RemoveInd freezing exits the
+    first call before tight flux balance."""
+    ref, mine = _make_pair(nz=50)
+    with contextlib.redirect_stdout(io.StringIO()):
+        for _ in range(2):
+            ref.evolve_to_equilibrium(flux_thresh=1e-4, save=False)
+    for _ in range(2):
+        mine.evolve_to_equilibrium(flux_thresh=1e-4, save=False)
+    active = ref.tau[:, 0] > 0.03
+    assert np.abs(ref.T - mine.T)[active].max() < 0.1
+    assert np.abs(mine.net_flux).max() < 0.5
+
+
+def test_convective_adjustment_parity():
+    import jax.numpy as jnp
+    ref_conv = rh.import_reference_convection()
+    from climatemodel_tpu.ops.convection import convective_adjustment
+    rng = np.random.default_rng(11)
+    p = np.logspace(np.log10(p_surface_earth), np.log10(1000.0), 40)
+    for _ in range(4):
+        # instability confined to the lower 2/3; the top rides a strongly
+        # stable theta ramp (the reference IndexErrors if an adjustment ever
+        # flags its topmost pair unstable, convective_adjustment.py:76-77)
+        T = 320 - 60 * np.linspace(0, 1, 40)
+        T[:26] += 6 * rng.standard_normal(26)
+        T[26:] += np.linspace(10, 120, 14)
+        T2 = np.stack([T, T + 5], axis=1)
+        ref_out = ref_conv.convective_adjustment(p.copy(), T2.copy())
+        my_out = np.asarray(convective_adjustment(jnp.asarray(p),
+                                                  jnp.asarray(T2)))
+        np.testing.assert_allclose(my_out, ref_out, atol=1e-8)
+
+
+def test_sw_equilibrium_matches_reference_sympy():
+    """Our closed-form GreySwEquilibrium vs the reference's sympy calculator."""
+    ref_grey, ref_od = rh.import_reference_grey()
+    from climatemodel_tpu.models.grey import GreySwEquilibrium
+    from climatemodel_tpu.ops import optical_depth as od
+    p_width_lw = 100000.0
+    alpha_sw = od.get_exponential_alpha(p_width_lw) / 5
+    p_width_sw = od.get_exponential_p_width(alpha_sw)
+    lw = od.exponential(p_width=p_width_lw, tau_surface=4.0)
+    sw = od.exponential(p_width=p_width_sw, tau_surface=0.6)
+    A = 0.3 * np.exp(-2 * 0.6)
+    from climatemodel_tpu.constants import F_sun
+    ref_calc = ref_grey.ShortWavelengthEqbCalc(
+        F_sun, A, tuple(lw.args), tuple(sw.args),
+        ref_od.exponential, ref_od.exponential)
+    my_calc = GreySwEquilibrium(F_sun, A, lw, sw)
+    t2 = np.linspace(0.0, 0.6, 30)
+    np.testing.assert_allclose(my_calc.T(t2), ref_calc.T(t2), rtol=1e-8)
+    np.testing.assert_allclose(my_calc.up_lw_flux(t2), ref_calc.up_lw_flux(t2),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(my_calc.down_lw_flux(t2),
+                               ref_calc.down_lw_flux(t2), rtol=1e-8, atol=1e-8)

@@ -1,0 +1,79 @@
+"""Two-stream flux operator tests: associative scan vs explicit NumPy recursion
+implementing the reference update (grey.py:251-294)."""
+import jax.numpy as jnp
+import numpy as np
+
+from climatemodel_tpu.constants import sigma
+from climatemodel_tpu.ops.two_stream import (affine_scan, lw_flux,
+                                             lw_flux_sequential, sw_flux)
+
+
+def _numpy_lw_reference(T, dtau, up_toa):
+    """Surface-first sequential recursion, as in the reference loop."""
+    nz = T.shape[0] + 1
+    up = np.zeros((nz,) + T.shape[1:])
+    down = np.zeros_like(up)
+    up[-1] = up_toa
+    for i in range(T.shape[0] - 1, -1, -1):
+        up[i] = up[i + 1] * np.exp(dtau[i]) + sigma * T[i] ** 4 * (1 - np.exp(dtau[i]))
+        down[i] = down[i + 1] * np.exp(-dtau[i]) + sigma * T[i] ** 4 * (1 - np.exp(-dtau[i]))
+    return up, down
+
+
+def test_affine_scan_forward():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0.5, 1.5, (17, 3))
+    b = rng.normal(size=(17, 3))
+    x0 = rng.normal(size=(3,))
+    out = np.asarray(affine_scan(jnp.asarray(a), jnp.asarray(b), jnp.asarray(x0)))
+    expect = [x0]
+    for k in range(17):
+        expect.append(a[k] * expect[-1] + b[k])
+    np.testing.assert_allclose(out, np.stack(expect), rtol=1e-12)
+
+
+def test_affine_scan_reverse():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0.5, 1.5, (9,))
+    b = rng.normal(size=(9,))
+    x_last = 2.0
+    out = np.asarray(affine_scan(jnp.asarray(a), jnp.asarray(b),
+                                 jnp.asarray(x_last), reverse=True))
+    expect = np.zeros(10)
+    expect[-1] = x_last
+    for k in range(8, -1, -1):
+        expect[k] = a[k] * expect[k + 1] + b[k]
+    np.testing.assert_allclose(out, expect, rtol=1e-12)
+
+
+def test_lw_flux_matches_reference_recursion():
+    rng = np.random.default_rng(2)
+    nz, ny = 80, 4
+    T = rng.uniform(150, 350, (nz - 1, ny))
+    dtau = rng.uniform(0, 0.3, (nz - 1, ny))
+    up_toa = rng.uniform(100, 300, (ny,))
+    up_ref, down_ref = _numpy_lw_reference(T, dtau, up_toa)
+    up, down = lw_flux(jnp.asarray(T), jnp.asarray(dtau), jnp.asarray(up_toa))
+    np.testing.assert_allclose(np.asarray(up), up_ref, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(down), down_ref, rtol=1e-10)
+    # sequential lax.scan variant agrees too
+    up2, down2 = lw_flux_sequential(jnp.asarray(T), jnp.asarray(dtau),
+                                    jnp.asarray(up_toa))
+    np.testing.assert_allclose(np.asarray(up2), up_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(down2), down_ref, rtol=1e-12)
+
+
+def test_sw_flux_beer_law():
+    tau_sw = jnp.linspace(0.5, 0.0, 11)[:, None] * jnp.ones((1, 2))
+    albedo_mod = jnp.array([0.3, 0.2])
+    sol = jnp.array([1.0, 1.1])
+    F = 1367.0
+    up, down = sw_flux(tau_sw, albedo_mod, sol, F)
+    np.testing.assert_allclose(np.asarray(up),
+                               np.asarray(albedo_mod * sol * F / 4 * jnp.exp(tau_sw)))
+    np.testing.assert_allclose(np.asarray(down),
+                               np.asarray(sol * F / 4 * jnp.exp(-tau_sw)))
+    # isothermal: constants everywhere (grey.py:104)
+    up_i, down_i = sw_flux(tau_sw, albedo_mod, sol, F, isothermal=True)
+    assert np.allclose(np.asarray(up_i), np.asarray(albedo_mod * sol * F / 4))
+    assert np.ptp(np.asarray(down_i), axis=0).max() == 0
