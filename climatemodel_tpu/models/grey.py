@@ -138,8 +138,6 @@ class GreyGas:
 
         # initial condition: isothermal energy balance (grey.py:98-105)
         T = np.ones((self.nz - 1, self.ny)) * self.T0
-        self.F_sw0 = (1 - self.albedo_mod) * self.solar_latitude_factor * \
-            self.F_stellar_constant / 4
         up_lw = np.ones((self.nz, self.ny)) * self.F_sw0
         down_lw = np.zeros((self.nz, self.ny))
         up_sw, down_sw = np.asarray(sw_flux(
@@ -182,19 +180,29 @@ class GreyGas:
             self.tau_sw_interface = np.asarray(self._sw.tau(self.p_interface))
             self.q_sw = np.asarray(self._sw.q(self.p))
             self.tau_sw = np.asarray(self._sw.tau(self.p))
-            # albedo correction for the missing exp(tau_surface) term
-            # (grey.py:91-94)
-            self.albedo_mod = self.albedo * np.exp(-2 * self.tau_sw_interface[0])
         else:
             self.tau_sw_interface = np.zeros_like(self.tau_interface)
             self.q_sw = np.zeros_like(self.q)
             self.tau_sw = np.zeros_like(self.tau)
-            self.albedo_mod = self.albedo
 
     def update_grid(self):
         """Re-evaluate tau after mutating tau_*_func_args (grey.py:346-358)."""
         self._build_profiles()
         self._refresh_tau_grids()
+
+    @property
+    def albedo_mod(self):
+        """Albedo corrected for the missing exp(tau_sw_surface) term
+        (grey.py:91-94); recomputed live so albedo/tau sweeps propagate."""
+        if self.sw_tau_is_zero:
+            return self.albedo
+        return self.albedo * np.exp(-2 * self.tau_sw_interface[0])
+
+    @property
+    def F_sw0(self):
+        """Net absorbed stellar flux per latitude (grey.py:99)."""
+        return (1 - self.albedo_mod) * self.solar_latitude_factor * \
+            self.F_stellar_constant / 4
 
     @property
     def forcing(self) -> GreyForcing:

@@ -1,0 +1,689 @@
+"""2-D shallow-water dynamics on a beta plane, TPU-native.
+
+Re-design of the reference ``ShallowWater``
+(/root/reference/Model/dynamics/shallow_water.py:10-828): conservative form
+U = (h, uh, vh), four FV/FD schemes (ops/stencils.py), ghost-cell boundary
+conditions, CFL time-step control, orography, the full scenario library
+(uniform/sinusoidal/jet zonal flows, height gaussian/step, El Nino with the
+Bjerknes wind feedback closure), and Rayleigh damping with sponge walls.
+
+TPU mapping: the whole ``time_step`` body — CFL reduction, scheme stencil,
+damping, wind feedback, boundary conditions — is one jit-compiled function of an
+immutable state pytree; long runs use ``lax.scan`` over it so the entire
+simulation is a single XLA program with state resident in HBM.  All
+forcing/geometry (Coriolis field, orography, damping, wind-closure masks)
+enters as a dynamic pytree, so parameter changes never retrace.  For multi-chip
+runs the same step body is wrapped in ``shard_map`` with halo exchange
+(climatemodel_tpu.parallel.halo).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from ..constants import g as g_earth
+from ..ops import stencils
+
+
+# --------------------------------------------------------------------------
+# State / parameter pytrees
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class SWState:
+    h: jnp.ndarray          # [nx, ny] fluid depth (incl. ghost cells)
+    u: jnp.ndarray          # [nx, ny] zonal velocity
+    v: jnp.ndarray          # [nx, ny] meridional velocity
+    t: jnp.ndarray          # scalar time (s)
+    dt: jnp.ndarray         # scalar current time step (s)
+    ok: jnp.ndarray         # scalar bool: False once dt < 10 s (abort flag)
+
+
+@struct.dataclass
+class SWParams:
+    """Dynamic inputs of the compiled step (changing these never retraces)."""
+    f_coriolis: jnp.ndarray   # [nx, ny]
+    h_base: jnp.ndarray       # [nx, ny] orography
+    r: jnp.ndarray            # [nx, ny] Rayleigh damping coefficient
+    g: jnp.ndarray            # scalar gravity
+    h_mean: jnp.ndarray       # scalar mean depth (linear mode)
+    dt_0: jnp.ndarray         # scalar initial/maximum time step
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    # El Nino wind closure (ignored unless wind_type != None):
+    wind_gamma: jnp.ndarray           # Bjerknes feedback strength
+    wind_initial_tau: jnp.ndarray     # initial tau/h
+    wind_seasonal_fluct: jnp.ndarray  # seasonal oscillation magnitude
+    east_mask: jnp.ndarray            # [nx, ny] averaging mask (east boundary)
+    west_mask: jnp.ndarray            # [nx, ny] averaging mask (west boundary)
+
+
+# --------------------------------------------------------------------------
+# Physics closures (shallow_water.py:446-578)
+# --------------------------------------------------------------------------
+
+def get_conservative_form(h, u, v, linear):
+    if linear:
+        return jnp.stack([h, u, v])
+    return jnp.stack([h, h * u, h * v])
+
+
+def get_physical_values(U, linear):
+    h = U[0]
+    if linear:
+        return h, U[1], U[2]
+    return h, U[1] / h, U[2] / h
+
+
+def make_flux_x(g, h_mean, linear):
+    def flux_x(U):
+        if linear:
+            return jnp.stack([h_mean * U[1], g * U[0], jnp.zeros_like(U[0])])
+        return jnp.stack([U[1],
+                          U[1] ** 2 / U[0] + 0.5 * g * U[0] ** 2,
+                          U[1] * U[2] / U[0]])
+    return flux_x
+
+
+def make_flux_y(g, h_mean, linear):
+    def flux_y(U):
+        if linear:
+            return jnp.stack([h_mean * U[2], jnp.zeros_like(U[0]), g * U[0]])
+        return jnp.stack([U[2],
+                          U[1] * U[2] / U[0],
+                          U[2] ** 2 / U[0] + 0.5 * g * U[0] ** 2])
+    return flux_y
+
+
+def make_source(g, f_coriolis, h_base, dx, dy, linear):
+    """Coriolis + orography-gradient source Q(U) on the interior
+    (shallow_water.py:555-578)."""
+    dhbase_dx = stencils.centered_diff_x(h_base, dx)
+    dhbase_dy = stencils.centered_diff_y(h_base, dy)
+    f_int = f_coriolis[1:-1, 1:-1]
+
+    def source(U):
+        h, u, v = get_physical_values(U[:, 1:-1, 1:-1], linear)
+        Q1 = f_int * v - g * dhbase_dx
+        Q2 = -f_int * u - g * dhbase_dy
+        if not linear:
+            Q1 = h * Q1
+            Q2 = h * Q2
+        return jnp.stack([jnp.zeros_like(Q1), Q1, Q2])
+    return source
+
+
+def make_jacobian_x(g):
+    def jacobian_x(U):
+        """A = dF/dU [nx, ny, 3, 3], nonlinear only (shallow_water.py:519-535)."""
+        nx, ny = U.shape[1], U.shape[2]
+        A = jnp.zeros((nx, ny, 3, 3), U.dtype)
+        A = A.at[:, :, 1, 0].set(-U[2] ** 2 / U[0] ** 2 + g * U[0])
+        A = A.at[:, :, 2, 0].set(-U[1] * U[2] / U[0] ** 2)
+        A = A.at[:, :, 0, 1].set(1.0)
+        A = A.at[:, :, 1, 1].set(2 * U[1] / U[0])
+        A = A.at[:, :, 2, 1].set(U[2] / U[0])
+        A = A.at[:, :, 2, 2].set(U[1] / U[0])
+        return A
+    return jacobian_x
+
+
+def make_jacobian_y(g):
+    def jacobian_y(U):
+        """B = dG/dU (shallow_water.py:537-553)."""
+        nx, ny = U.shape[1], U.shape[2]
+        B = jnp.zeros((nx, ny, 3, 3), U.dtype)
+        B = B.at[:, :, 1, 0].set(-U[1] * U[2] / U[0] ** 2)
+        B = B.at[:, :, 2, 0].set(-U[2] ** 2 / U[0] ** 2 + g * U[0])
+        B = B.at[:, :, 1, 1].set(U[2] / U[0])
+        B = B.at[:, :, 0, 2].set(1.0)
+        B = B.at[:, :, 1, 2].set(U[1] / U[0])
+        B = B.at[:, :, 2, 2].set(2 * U[2] / U[0])
+        return B
+    return jacobian_y
+
+
+# --------------------------------------------------------------------------
+# Boundary conditions (shallow_water.py:393-444)
+# --------------------------------------------------------------------------
+
+def apply_boundary_conditions(h, u, v, bx='periodic', by='walls'):
+    """Ghost-cell boundary conditions, x block then y block exactly like the
+    reference (corner handling included)."""
+    h, u, v = jnp.asarray(h), jnp.asarray(u), jnp.asarray(v)
+    if bx == 'periodic':
+        def per_x(f):
+            f = f.at[0, 1:-1].set(f[-2, 1:-1])
+            f = f.at[0, 0].set(f[-2, 1])
+            f = f.at[0, -1].set(f[-2, -2])
+            f = f.at[-1, 1:-1].set(f[1, 1:-1])
+            f = f.at[-1, 0].set(f[1, 1])
+            f = f.at[-1, -1].set(f[1, -2])
+            return f
+        h, u, v = per_x(h), per_x(u), per_x(v)
+    elif bx == 'walls':
+        u = u.at[0, :].set(0.0).at[-1, :].set(0.0)
+        for name in ('h', 'v'):
+            f = h if name == 'h' else v
+            f = f.at[0, :].set(f[1, :]).at[-1, :].set(f[-2, :])
+            if name == 'h':
+                h = f
+            else:
+                v = f
+
+    if by == 'periodic':
+        def per_y(f):
+            f = f.at[1:-1, 0].set(f[1:-1, -2])
+            f = f.at[0, 0].set(f[1, -2])
+            f = f.at[-1, 0].set(f[-2, -2])
+            f = f.at[1:-1, -1].set(f[1:-1, 1])
+            f = f.at[0, -1].set(f[1, 1])
+            f = f.at[-1, -1].set(f[-2, -1])
+            return f
+        h, u, v = per_y(h), per_y(u), per_y(v)
+    elif by == 'walls':
+        v = v.at[:, 0].set(0.0).at[:, -1].set(0.0)
+        for name in ('h', 'u'):
+            f = h if name == 'h' else u
+            f = f.at[:, 0].set(f[:, 1]).at[:, -1].set(f[:, -2])
+            if name == 'h':
+                h = f
+            else:
+                u = f
+    return h, u, v
+
+
+# --------------------------------------------------------------------------
+# El Nino wind closure (shallow_water.py:272-308, 727-766)
+# --------------------------------------------------------------------------
+
+def masked_mean(field, mask):
+    return jnp.sum(field * mask) / jnp.sum(mask)
+
+
+def east_west_thickness(h, params: SWParams):
+    """Mean thermocline depth near the east/west boundaries
+    (shallow_water.py:738-766)."""
+    return masked_mean(h, params.east_mask), masked_mean(h, params.west_mask)
+
+
+def seasonal_wind(params: SWParams, t):
+    """Annual sinusoid about the initial wind (shallow_water.py:727-736)."""
+    t_year = 365 * 24 * 60 ** 2
+    return params.wind_initial_tau + params.wind_seasonal_fluct * \
+        jnp.sin(t * 2 * jnp.pi / t_year)
+
+
+def atmosphere_wind(params: SWParams, h_bc, t, wind_type):
+    """tau/h_mean wind stress for the u equation (shallow_water.py:272-308).
+    ``h_bc`` must already satisfy the boundary conditions."""
+    if wind_type is None or wind_type == 'unforced':
+        return jnp.asarray(0.0, h_bc.dtype)
+    if wind_type == 'seasonal':
+        return seasonal_wind(params, t)
+    h_east, h_west = east_west_thickness(h_bc, params)
+    forced = params.wind_gamma * (h_east - h_west)
+    if wind_type == 'seasonal_forced':
+        return forced + seasonal_wind(params, t) - params.wind_initial_tau
+    if wind_type == 'forced':
+        return forced
+    raise ValueError(f"wind type {wind_type!r} not valid")
+
+
+# --------------------------------------------------------------------------
+# The compiled step
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
+                                             'wind_type', 'target_courant'))
+def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
+            bx='periodic', by='walls', wind_type=None, target_courant=0.1):
+    """One shallow-water time step (shallow_water.py:339-373)."""
+    h, u, v = state.h, state.u, state.v
+    # CFL control after the first step (shallow_water.py:321-337)
+    max_u = jnp.sqrt(jnp.max(u ** 2 + v ** 2))
+    dt_cfl = jnp.minimum(params.dt_0,
+                         target_courant * jnp.minimum(params.dx, params.dy)
+                         / max_u)
+    dt = jnp.where(state.t > 0, dt_cfl, state.dt)
+    ok = state.ok & (dt >= 10.0)
+
+    flux_x = make_flux_x(params.g, params.h_mean, linear)
+    flux_y = make_flux_y(params.g, params.h_mean, linear)
+    source = make_source(params.g, params.f_coriolis, params.h_base,
+                         params.dx, params.dy, linear)
+    U = get_conservative_form(h, u, v, linear)
+    if solver == 'lax_wendroff':
+        U = stencils.lax_wendroff(U, flux_x, flux_y, source, dt, params.dx,
+                                  params.dy, [0], h.shape[0], h.shape[1],
+                                  make_jacobian_x(params.g),
+                                  make_jacobian_y(params.g))
+    else:
+        U = stencils.SCHEMES[solver](U, flux_x, flux_y, source, dt, params.dx,
+                                     params.dy, [0])
+    h_new, u_new, v_new = get_physical_values(U, linear)
+    # Rayleigh damping against the *pre-step* velocities (shallow_water.py:362-363)
+    u_new = u_new - params.r * dt * u
+    v_new = v_new - params.r * dt * v
+    if wind_type is not None:
+        h_for_wind = apply_boundary_conditions(h_new, u_new, v_new, bx, by)[0]
+        wind = atmosphere_wind(params, h_for_wind, state.t, wind_type)
+        u_new = u_new + wind * dt
+    h_new, u_new, v_new = apply_boundary_conditions(h_new, u_new, v_new, bx, by)
+    # freeze the state if the step failed (dt too small): host raises
+    h_new = jnp.where(ok, h_new, h)
+    u_new = jnp.where(ok, u_new, u)
+    v_new = jnp.where(ok, v_new, v)
+    return state.replace(h=h_new, u=u_new, v=v_new, t=state.t + dt, dt=dt, ok=ok)
+
+
+@functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
+                                             'wind_type', 'target_courant',
+                                             'n_steps'))
+def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
+                linear=False, bx='periodic', by='walls', wind_type=None,
+                target_courant=0.1):
+    """n_steps fused into one lax.scan: the whole run is a single XLA program."""
+    def body(st, _):
+        return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
+                       wind_type=wind_type, target_courant=target_courant), None
+    state, _ = lax.scan(body, state, None, length=n_steps)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
+                                             'wind_type', 'target_courant',
+                                             'n_snaps', 'steps_per_snap'))
+def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
+                          steps_per_snap, solver='richtmyer', linear=False,
+                          bx='periodic', by='walls', wind_type=None,
+                          target_courant=0.1):
+    """Run n_snaps * steps_per_snap steps, stacking (t, h, u, v) snapshots every
+    steps_per_snap steps — the scan-native replacement of data_dict appends."""
+    def inner(st, _):
+        return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
+                       wind_type=wind_type, target_courant=target_courant), None
+
+    def outer(st, _):
+        st, _ = lax.scan(inner, st, None, length=steps_per_snap)
+        return st, (st.t, st.h, st.u, st.v)
+
+    state, snaps = lax.scan(outer, state, None, length=n_snaps)
+    return state, snaps
+
+
+# --------------------------------------------------------------------------
+# User-facing model
+# --------------------------------------------------------------------------
+
+class ShallowWater:
+    """Reference-parity shallow-water model (shallow_water.py:10-89 ctor API)."""
+
+    def __init__(self, nx, ny, dx, dy, dt, f_0, beta, orography_info=None,
+                 initial_info=None, boundary_type=None,
+                 numerical_solver='richtmyer', r=0, g=g_earth, linear=False,
+                 noise_seed=None, dtype=None):
+        self.nx, self.ny = int(nx), int(ny)
+        self.dx, self.dy = float(dx), float(dy)
+        self.dt_0 = float(dt)
+        self.g = float(g)
+        self.linear = bool(linear)
+        self.numerical_solver = numerical_solver
+        if numerical_solver not in stencils.SCHEMES:
+            raise ValueError(f'unknown solver {numerical_solver!r}')
+        self.orography_info = orography_info
+        self.initial_info = initial_info
+        if boundary_type is None:
+            boundary_type = {'x': 'periodic', 'y': 'walls'}
+        self.boundary_type = boundary_type
+        self.dtype = dtype or jnp.zeros(0).dtype
+        self._noise_seed = noise_seed
+
+        x = np.arange(nx) * dx
+        x = x - x.mean()
+        y = np.arange(ny) * dy
+        y = y - y.mean()
+        self.Y, self.X = np.meshgrid(y, x)     # [nx, ny]
+        # sponge-wall damping (shallow_water.py:78-81)
+        self.r = np.ones((nx, ny)) * r
+        if boundary_type.get('y') == 'walls' and 'y_walls_damp' in boundary_type:
+            border = np.abs(self.Y[0]) >= boundary_type['y_walls_damp']['dist_thresh']
+            self.r[:, border] = boundary_type['y_walls_damp']['r']
+        self.f_0 = float(f_0)
+        self.beta = float(beta)
+        self.f_coriolis = f_0 + beta * self.Y
+        self.h_base = self.orography()
+        u, v, h_surface = self.initial_conditions()
+        self.h_surface = h_surface
+        h = h_surface - self.h_base
+        h, u, v = (np.asarray(a) for a in apply_boundary_conditions(
+            jnp.asarray(h), jnp.asarray(u), jnp.asarray(v),
+            boundary_type['x'], boundary_type['y']))
+        self.h_mean = float(h.mean())
+
+        self._state = SWState(
+            h=jnp.asarray(h, self.dtype), u=jnp.asarray(u, self.dtype),
+            v=jnp.asarray(v, self.dtype), t=jnp.asarray(0.0, self.dtype),
+            dt=jnp.asarray(self.dt_0, self.dtype), ok=jnp.asarray(True))
+
+    # ------------- host-side scenario construction -------------
+
+    def orography(self):
+        """Rigid-base profile: flat / slope / mountain (shallow_water.py:101-127)."""
+        info = self.orography_info
+        if info is None:
+            info = self.orography_info = {'type': 'flat'}
+        if info['type'] == 'flat':
+            return np.zeros((self.nx, self.ny))
+        if info['type'] == 'slope':
+            return info['max_h_base'] * (self.X - self.X.min()) / self.X.max()
+        if info['type'] == 'mountain':
+            return info['max_h_base'] * np.exp(
+                -0.5 * ((self.X - info['x0']) / info['x_std']) ** 2
+                - 0.5 * ((self.Y - info['y0']) / info['y_std']) ** 2)
+        raise ValueError("orography_info['type'] not valid")
+
+    def get_geostrophic_velocities(self, h_surface):
+        """u = -(g/f) dh/dy, v = (g/f) dh/dx on the interior
+        (shallow_water.py:129-141)."""
+        u = np.zeros((self.nx, self.ny))
+        v = np.zeros((self.nx, self.ny))
+        f_int = self.f_coriolis[1:-1, 1:-1]
+        u[1:-1, 1:-1] = -self.g * (h_surface[1:-1, 2:] - h_surface[1:-1, :-2]) \
+            / (2 * self.dy) / f_int
+        v[1:-1, 1:-1] = self.g * (h_surface[2:, 1:-1] - h_surface[:-2, 1:-1]) \
+            / (2 * self.dx) / f_int
+        return u, v
+
+    def initial_conditions(self):
+        """Scenario library (shallow_water.py:143-319)."""
+        info = self.initial_info
+        if info is None:
+            info = self.initial_info = {
+                'type': 'uniform_zonal',
+                'mean_h_surface': 2 * np.max(self.h_base) + 1000,
+                'u_mean': 20, 'add_noise': False}
+        u = np.zeros((self.nx, self.ny))
+        v = np.zeros((self.nx, self.ny))
+        h_surface = np.ones((self.nx, self.ny))
+        kind = info['type']
+        if kind == 'uniform_zonal':
+            h_surface = info['mean_h_surface'] - \
+                (info['u_mean'] * self.f_0 / self.g) * self.Y
+            u, v = self.get_geostrophic_velocities(h_surface)
+        elif kind == 'sinusoidal_zonal':
+            cos_mult = 2 * info['n_periods'] * np.pi / self.Y.max()
+            if self.f_0 == 0:
+                h_jet_max = np.abs(self.f_coriolis).mean() * info['u_max'] / \
+                    (cos_mult * self.g)
+            else:
+                h_jet_max = self.f_0 * info['u_max'] / (cos_mult * self.g)
+            h_surface = info['mean_h_surface'] - h_jet_max * \
+                np.cos((self.Y - info['y0']) * cos_mult)
+            u, v = self.get_geostrophic_velocities(h_surface)
+        elif kind == 'jet_zonal':
+            # Bickley jet: sech^2 wind <-> tanh height (shallow_water.py:182-189)
+            h_jet_max = self.f_0 * info['u_max'] * info['jet_width'] / self.g
+            h_surface = info['mean_h_surface'] - h_jet_max * \
+                np.tanh((self.Y - info['y0']) / info['jet_width'])
+            u, v = self.get_geostrophic_velocities(h_surface)
+        elif kind == 'height_gaussian':
+            h_surface = info['min_h_surface'] + \
+                (info['max_h_surface'] - info['min_h_surface']) * np.exp(
+                    -0.5 * ((self.X - info['x0']) / info['x_std']) ** 2
+                    - 0.5 * ((self.Y - info['y0']) / info['y_std']) ** 2)
+        elif kind == 'height_step':
+            coord = self.Y if info['direction'] == 'y' else self.X
+            h_surface = np.where(coord <= info['discontinuity_pos'],
+                                 info['min_h_surface'], info['max_h_surface'])
+        elif kind == 'el_nino':
+            h_surface = self._el_nino_initial(info)
+        else:
+            raise ValueError("initial_info['type'] not valid")
+        if info.get('add_noise'):
+            amp = max(np.mean(np.abs(np.diff(h_surface))) / 10, 1e-20)
+            rng = np.random.default_rng(self._noise_seed)
+            h_surface = h_surface + rng.standard_normal(self.X.shape) * amp
+        if np.min(h_surface) < np.max(self.h_base):
+            raise ValueError('surface height is less than floor height')
+        return u, v, h_surface
+
+    def _el_nino_initial(self, info):
+        """Tilted thermocline + Bjerknes feedback wind defaults
+        (shallow_water.py:211-308)."""
+        x_gradient = -((info['max_h_surface'] - info['min_h_surface'])
+                       / (self.X.max() - self.X.min()))
+        h_surface_mean = 0.5 * (info['max_h_surface'] + info['min_h_surface'])
+        h_surface = h_surface_mean + self.X * x_gradient * \
+            np.exp(-0.5 * ((self.Y - 0) / info['y_std']) ** 2)
+        initial_tau_over_h_guess = x_gradient * self.g
+
+        wind = info['wind']
+        for key in ('gamma', 'seasonal_fluct', 'x_average_width',
+                    'y_average_width'):
+            wind.setdefault(key, None)
+        if wind['gamma'] is None:
+            # chosen so the feedback can turn the wind eastward
+            # (shallow_water.py:239-242)
+            wind['gamma'] = 1.2 * abs(initial_tau_over_h_guess) / (
+                info['max_h_surface'] - info['min_h_surface'])
+        c = np.sqrt(self.g * h_surface_mean)
+        L_def = np.sqrt(c / self.beta) if self.beta else c * 3600
+        if wind['x_average_width'] is None:
+            wind['x_average_width'] = 8 * L_def
+        if wind['y_average_width'] is None:
+            wind['y_average_width'] = 5 * L_def
+
+        # exact initial wind from the BC-consistent initial thickness
+        # (shallow_water.py:252-260)
+        h = h_surface - self.h_base
+        h = np.asarray(apply_boundary_conditions(
+            jnp.asarray(h), jnp.zeros_like(jnp.asarray(h)),
+            jnp.zeros_like(jnp.asarray(h)), self.boundary_type['x'],
+            self.boundary_type['y'])[0])
+        east, west = self._boundary_masks(wind['x_average_width'],
+                                          wind['y_average_width'])
+        h_east = h[east].mean() if east.any() else 0.0
+        h_west = h[west].mean() if west.any() else 0.0
+        wind['initial_tau_over_h'] = wind['gamma'] * (h_east - h_west)
+        if wind['seasonal_fluct'] is None:
+            if wind['type'] == 'seasonal':
+                wind['seasonal_fluct'] = abs(wind['initial_tau_over_h'])
+            else:
+                wind['seasonal_fluct'] = abs(wind['initial_tau_over_h']) / 10
+        return h_surface
+
+    def _boundary_masks(self, x_average_width, y_average_width):
+        """Boolean [nx, ny] masks for east/west boundary-strip averages
+        (shallow_water.py:738-753)."""
+        x_east = self.X[:, 0] >= self.X.max() - x_average_width
+        x_west = self.X[:, 0] <= self.X.min() + x_average_width
+        y_in = np.abs(self.Y[0]) <= y_average_width / 2
+        east = x_east[:, None] & y_in[None, :]
+        west = x_west[:, None] & y_in[None, :]
+        return east, west
+
+    # ------------- compiled-step plumbing -------------
+
+    @property
+    def wind_type(self):
+        if self.initial_info.get('type') == 'el_nino':
+            return self.initial_info['wind']['type']
+        return None
+
+    @property
+    def params(self) -> SWParams:
+        d = self.dtype
+        if self.wind_type is not None:
+            w = self.initial_info['wind']
+            east, west = self._boundary_masks(w['x_average_width'],
+                                              w['y_average_width'])
+            gamma = w['gamma']
+            tau0 = w['initial_tau_over_h']
+            fluct = w['seasonal_fluct']
+        else:
+            east = west = np.zeros((self.nx, self.ny), bool)
+            gamma = tau0 = fluct = 0.0
+        return SWParams(
+            f_coriolis=jnp.asarray(self.f_coriolis, d),
+            h_base=jnp.asarray(self.h_base, d),
+            r=jnp.asarray(self.r, d),
+            g=jnp.asarray(self.g, d), h_mean=jnp.asarray(self.h_mean, d),
+            dt_0=jnp.asarray(self.dt_0, d),
+            dx=jnp.asarray(self.dx, d), dy=jnp.asarray(self.dy, d),
+            wind_gamma=jnp.asarray(gamma, d),
+            wind_initial_tau=jnp.asarray(tau0, d),
+            wind_seasonal_fluct=jnp.asarray(fluct, d),
+            east_mask=jnp.asarray(east, d), west_mask=jnp.asarray(west, d))
+
+    @property
+    def state(self) -> SWState:
+        return self._state
+
+    @property
+    def h(self):
+        return np.asarray(self._state.h)
+
+    @property
+    def u(self):
+        return np.asarray(self._state.u)
+
+    @property
+    def v(self):
+        return np.asarray(self._state.v)
+
+    @property
+    def dt(self):
+        return float(self._state.dt)
+
+    def _step_kwargs(self, target_courant=0.1):
+        return dict(solver=self.numerical_solver, linear=self.linear,
+                    bx=self.boundary_type['x'], by=self.boundary_type['y'],
+                    wind_type=self.wind_type, target_courant=target_courant)
+
+    def boundary_conditions(self, h, u, v):
+        """Reference-parity helper (shallow_water.py:393-444)."""
+        out = apply_boundary_conditions(jnp.asarray(h), jnp.asarray(u),
+                                        jnp.asarray(v), self.boundary_type['x'],
+                                        self.boundary_type['y'])
+        return tuple(np.asarray(a) for a in out)
+
+    # ------------- stepping -------------
+
+    def time_step(self, t, data_dict=None, save_every=0.1, target_courant=0.1):
+        """One step with reference data_dict semantics (shallow_water.py:339-373)."""
+        if data_dict is None:
+            data_dict = {'t': [t], 'h': [self.h], 'u': [self.u], 'v': [self.v]}
+        self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
+        self._state = sw_step(self._state, self.params,
+                              **self._step_kwargs(target_courant))
+        if not bool(self._state.ok):
+            raise ValueError('time step very small')
+        t = float(self._state.t)
+        if np.divmod(t, save_every)[1] < float(self._state.dt):
+            data_dict = self.save_data(data_dict, t)
+        return t, data_dict
+
+    def save_data(self, data_dict, t):
+        data_dict['t'].append(t)
+        data_dict['h'].append(self.h)
+        data_dict['u'].append(self.u)
+        data_dict['v'].append(self.v)
+        return data_dict
+
+    def run(self, n_days=None, nt=None, save_every=None, target_courant=0.1,
+            snapshots=True):
+        """Run the simulation as fused lax.scan programs.
+
+        :param n_days: simulated days (nt = fix(n_days*86400/dt_0)+1, the
+            reference driver convention, shallow_script.py:124-125).
+        :param save_every: approximate save interval (s); snapshots are taken
+            every round(save_every/dt_0) steps.
+        :return: data_dict with stacked arrays 't', 'h', 'u', 'v'.
+        """
+        if nt is None:
+            nt = int(np.fix(n_days * 24 * 60 ** 2 / self.dt_0) + 1)
+        if not snapshots:
+            self._state = sw_simulate(self._state, self.params, nt,
+                                      **self._step_kwargs(target_courant))
+            if not bool(self._state.ok):
+                raise ValueError('time step very small')
+            return {'t': np.asarray([float(self._state.t)]),
+                    'h': self.h[None], 'u': self.u[None], 'v': self.v[None]}
+        if save_every is None:
+            steps_per_snap = 1
+        else:
+            steps_per_snap = max(1, int(round(save_every / self.dt_0)))
+        n_snaps = max(1, nt // steps_per_snap)
+        init = (float(self._state.t), self.h, self.u, self.v)
+        self._state, snaps = sw_simulate_snapshots(
+            self._state, self.params, n_snaps, steps_per_snap,
+            **self._step_kwargs(target_courant))
+        if not bool(self._state.ok):
+            raise ValueError('time step very small')
+        t_arr, h_arr, u_arr, v_arr = (np.asarray(a) for a in snaps)
+        return {'t': np.concatenate([[init[0]], t_arr]),
+                'h': np.concatenate([init[1][None], h_arr]),
+                'u': np.concatenate([init[2][None], u_arr]),
+                'v': np.concatenate([init[3][None], v_arr])}
+
+    # ------------- El Nino diagnostics -------------
+
+    def el_nino_seasonal_wind(self, t):
+        w = self.initial_info['wind']
+        t_year = 365 * 24 * 60 ** 2
+        return w['initial_tau_over_h'] + w['seasonal_fluct'] * \
+            np.sin(np.asarray(t) * 2 * np.pi / t_year)
+
+    def get_average_east_west_boundary_thickness(self, h, x_average_width,
+                                                 y_average_width):
+        """Mean thickness near east/west boundaries, for single fields or
+        stacked time series (shallow_water.py:738-766)."""
+        east, west = self._boundary_masks(x_average_width, y_average_width)
+        h = np.asarray(h)
+        if h.ndim == 2:
+            return h[east].mean(), h[west].mean()
+        flat = h.reshape(h.shape[0], -1)
+        return (flat[:, east.ravel()].mean(axis=1),
+                flat[:, west.ravel()].mean(axis=1))
+
+    def el_nino_plot(self, t, h, x_average_width=None, y_average_width=None):
+        """East/west thermocline + wind time-series plot
+        (shallow_water.py:768-828)."""
+        import matplotlib.pyplot as plt
+        w = self.initial_info['wind']
+        x_average_width = x_average_width or w['x_average_width']
+        y_average_width = y_average_width or w['y_average_width']
+        h_east, h_west = self.get_average_east_west_boundary_thickness(
+            h, x_average_width, y_average_width)
+        h_avg = np.asarray(h)[0].mean()
+        t_days = np.asarray(t) / 86400.0
+        fig, ax = plt.subplots(1, 1, figsize=(12, 5))
+        ln1 = ax.plot(t_days, h_east, label=r'$\overline{h}_{east}$', color='b')
+        ln2 = ax.plot(t_days, h_west, label=r'$\overline{h}_{west}$', color='r')
+        rng = max(np.abs(h_east - h_avg).max(), np.abs(h_west - h_avg).max())
+        ax.set_ylim((h_avg - rng * 1.1, h_avg + rng * 1.1))
+        ax.set_ylabel('Thermocline Depth / m')
+        ax.set_xlabel('Time / days')
+        ax2 = ax.twinx()
+        feedback = w['gamma'] * (h_east - h_west)
+        if 'seasonal' in w['type']:
+            seasonal = self.el_nino_seasonal_wind(np.asarray(t))
+            total = feedback + seasonal - w['initial_tau_over_h']
+            ln3 = ax2.plot(t_days, seasonal, 'g--', label='seasonal wind')
+        else:
+            total = feedback
+            ln3 = ax2.plot(t_days, np.full_like(t_days,
+                                                w['initial_tau_over_h']),
+                           'g--', label='Initial wind')
+        ln4 = ax2.plot(t_days, total, 'k--', label='total wind')
+        ax2.set_ylabel(r'Wind: $\tau^x / h_{mean}$')
+        lns = ln1 + ln2 + ln3 + ln4
+        ax.legend(lns, [l.get_label() for l in lns], loc=0)
+        return fig

@@ -24,8 +24,18 @@ import math
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import g, p_surface_earth
+
+
+def _ns(p):
+    """Array namespace of the argument: host NumPy stays NumPy (float64 grid
+    building must not round-trip through the accelerator's float32), traced
+    values use jnp."""
+    if isinstance(p, (np.ndarray, np.generic, float, int)):
+        return np
+    return jnp
 
 
 # --------------------------------------------------------------------------
@@ -142,13 +152,13 @@ def exponential(p_width: float = 0.22 * p_surface_earth, tau_surface: float = 4.
     coef = tau_surface / (math.exp(alpha * p_surface) - 1.0)
 
     def tau(p):
-        return coef * (jnp.exp(alpha * p) - 1.0)
+        return coef * (_ns(p).exp(alpha * p) - 1.0)
 
     def dtau_dp(p):
-        return coef * alpha * jnp.exp(alpha * p)
+        return coef * alpha * _ns(p).exp(alpha * p)
 
     def p_from_tau(t):
-        return jnp.log(t / coef + 1.0) / alpha
+        return _ns(t).log(t / coef + 1.0) / alpha
 
     return GreyOpticalDepth('exponential', (p_width, tau_surface, p_surface, k),
                             (coef, alpha), p_surface, k, tau, dtau_dp, p_from_tau)
@@ -166,20 +176,27 @@ def peak_in_atmosphere(p_width: float = 10000.0, p_max: float = 50000.0,
                           - math.exp(alpha * (p_max - p_surface)))
 
     def tau(p):
-        below = coef * (jnp.exp(alpha * (p - p_max)) - jnp.exp(-alpha * p_max))
-        above = coef * (2.0 - jnp.exp(-alpha * p_max) - jnp.exp(alpha * (p_max - p)))
-        return jnp.where(p <= p_max, below, above)
+        xp = _ns(p)
+        # exponents clamped at 0: each branch is only selected where its
+        # exponent is <= 0, but both branches are evaluated eagerly
+        e_below = xp.minimum(alpha * (p - p_max), 0.0)
+        e_above = xp.minimum(alpha * (p_max - p), 0.0)
+        below = coef * (xp.exp(e_below) - xp.exp(-alpha * p_max))
+        above = coef * (2.0 - xp.exp(-alpha * p_max) - xp.exp(e_above))
+        return xp.where(p <= p_max, below, above)
 
     def dtau_dp(p):
-        below = coef * alpha * jnp.exp(alpha * (p - p_max))
-        above = coef * alpha * jnp.exp(alpha * (p_max - p))
-        return jnp.where(p <= p_max, below, above)
+        xp = _ns(p)
+        below = coef * alpha * xp.exp(xp.minimum(alpha * (p - p_max), 0.0))
+        above = coef * alpha * xp.exp(xp.minimum(alpha * (p_max - p), 0.0))
+        return xp.where(p <= p_max, below, above)
 
     def p_from_tau(t):
+        xp = _ns(t)
         tau_thresh = coef * (1.0 - math.exp(-alpha * p_max))  # tau at p = p_max
-        below = p_max + jnp.log(t / coef + jnp.exp(-alpha * p_max)) / alpha
-        above = p_max - jnp.log(2.0 - jnp.exp(-alpha * p_max) - t / coef) / alpha
-        return jnp.where(t <= tau_thresh, below, above)
+        below = p_max + xp.log(t / coef + math.exp(-alpha * p_max)) / alpha
+        above = p_max - xp.log(2.0 - math.exp(-alpha * p_max) - t / coef) / alpha
+        return xp.where(t <= tau_thresh, below, above)
 
     return GreyOpticalDepth('peak_in_atmosphere', (p_width, p_max, tau_surface, p_surface, k),
                             (coef, alpha, p_max), p_surface, k, tau, dtau_dp, p_from_tau)
@@ -202,16 +219,20 @@ def scale_height_and_peak_in_atmosphere(
                             - math.exp(alpha2 * (p_max2 - p_surface)))
 
     def tau(p):
+        xp = _ns(p)
         sh = tau_surface1 * (p / p_surface) ** (alpha1 + 1.0)
-        below = coef2 * (jnp.exp(alpha2 * (p - p_max2)) - jnp.exp(-alpha2 * p_max2))
-        above = coef2 * (2.0 - jnp.exp(-alpha2 * p_max2) - jnp.exp(alpha2 * (p_max2 - p)))
-        return sh + jnp.where(p <= p_max2, below, above)
+        e_below = xp.minimum(alpha2 * (p - p_max2), 0.0)
+        e_above = xp.minimum(alpha2 * (p_max2 - p), 0.0)
+        below = coef2 * (xp.exp(e_below) - xp.exp(-alpha2 * p_max2))
+        above = coef2 * (2.0 - xp.exp(-alpha2 * p_max2) - xp.exp(e_above))
+        return sh + xp.where(p <= p_max2, below, above)
 
     def dtau_dp(p):
+        xp = _ns(p)
         sh = tau_surface1 * (alpha1 + 1.0) * (p / p_surface) ** alpha1 / p_surface
-        below = coef2 * alpha2 * jnp.exp(alpha2 * (p - p_max2))
-        above = coef2 * alpha2 * jnp.exp(alpha2 * (p_max2 - p))
-        return sh + jnp.where(p <= p_max2, below, above)
+        below = coef2 * alpha2 * xp.exp(xp.minimum(alpha2 * (p - p_max2), 0.0))
+        above = coef2 * alpha2 * xp.exp(xp.minimum(alpha2 * (p_max2 - p), 0.0))
+        return sh + xp.where(p <= p_max2, below, above)
 
     def p_from_tau(t):
         # scale-height-only inversion, as in the reference HACK.

@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: sharded halo-exchange
+shallow water must reproduce the single-device model exactly."""
+import numpy as np
+import pytest
+import jax
+
+from climatemodel_tpu.models.shallow_water import ShallowWater
+from climatemodel_tpu.parallel.halo import ShardedShallowWater
+from climatemodel_tpu.parallel.mesh import make_mesh, factor_devices
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason='needs >= 4 virtual devices')
+
+GRAV = dict(
+    nx=42, ny=30, dx=100e3, dy=100e3, dt=60.0, f_0=1e-4, beta=1.6e-11,
+    initial_info={'type': 'height_gaussian', 'min_h_surface': 9750.0,
+                  'max_h_surface': 10750.0, 'x0': 0.0, 'y0': 0.0,
+                  'x_std': 500e3, 'y_std': 500e3, 'add_noise': False})
+
+
+def _mesh(n):
+    return make_mesh(('x',), devices=jax.devices()[:n])
+
+
+@pytest.mark.parametrize('bx,by', [('periodic', 'walls'), ('walls', 'walls'),
+                                   ('periodic', 'periodic')])
+def test_sharded_matches_single_device(bx, by):
+    kw = dict(GRAV, boundary_type={'x': bx, 'y': by})
+    ref = ShallowWater(**kw)
+    ref.run(nt=40, snapshots=False)
+    world = ShallowWater(**kw)
+    ShardedShallowWater(world, _mesh(8)).run(nt=40)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+    np.testing.assert_allclose(world.v, ref.v, atol=1e-12)
+    assert float(world.state.t) == pytest.approx(float(ref.state.t))
+
+
+def test_sharded_el_nino_matches_single_device():
+    from climatemodel_tpu.constants import Omega, R_earth
+    h_mean, g_use = 100.0, 0.05
+    c = np.sqrt(g_use * h_mean)
+    beta = 2 * Omega / R_earth
+    L_def = np.sqrt(c / beta)
+    dx = L_def / 5
+    ny = 20
+    nx = 34                        # interior 32 = 8 shards x 4 columns
+    dt = 0.05 * dx / c
+    r = 1 / (10 * 30 * 24 * 60 ** 2)
+    kw = dict(nx=nx, ny=ny, dx=dx, dy=dx, dt=dt, f_0=0.0, beta=beta,
+              boundary_type={'x': 'walls', 'y': 'walls'}, r=r, g=g_use,
+              initial_info={'type': 'el_nino', 'max_h_surface': 110.0,
+                            'min_h_surface': 90.0, 'y_std': L_def,
+                            'add_noise': False, 'wind': {'type': 'forced'}})
+    ref = ShallowWater(**{k: (dict(v) if isinstance(v, dict) else v)
+                          for k, v in kw.items()})
+    ref.run(nt=30, snapshots=False)
+    world = ShallowWater(**kw)
+    ShardedShallowWater(world, _mesh(8)).run(nt=30)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+
+
+def test_mesh_helpers():
+    assert factor_devices(8) == (4, 2)
+    assert factor_devices(7) == (7, 1)
+    m = _mesh(4)
+    assert m.shape['x'] == 4
+    with pytest.raises(ValueError):
+        make_mesh(('x', 'y'), shape=(3, 2), devices=jax.devices()[:4])
+    # indivisible interior rejected
+    world = ShallowWater(**dict(GRAV, nx=25))
+    with pytest.raises(ValueError):
+        ShardedShallowWater(world, _mesh(8))
