@@ -171,13 +171,16 @@ def update_time_step(tsi: TimeStepInfo, T_tendency_flat, allowed) -> TimeStepInf
 def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
                 changing_tau: bool = False, convective_adjust: bool = False,
                 net_flux_thresh: float = 1e-7, net_flux_percentile: float = 95,
-                conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0):
+                conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
+                p_descending: bool = True):
     """One finite-volume temperature update with adaptive dt.
 
     :param net_flux: [nz, ny] freshly computed net flux.
     :param p_interface: [nz, ny] interface pressures (model's own orientation).
-    :param p_centre_col: [nz-1] cell-centre pressures of column 0, descending
-        (surface first) — used by convective adjustment.
+    :param p_centre_col: [nz-1] cell-centre pressures of column 0 — used by
+        convective adjustment.
+    :param p_descending: static orientation of the model's pressure axis
+        (grey: True, surface first; real-gas: False, TOA first).
     :return: (new_state, delta_net_flux)
     """
     T = state.T
@@ -213,7 +216,8 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
     T_new = jnp.where(allowed.reshape(T.shape), T + dt * T_tendency, T)
 
     if convective_adjust:
-        T_adj = convective_adjustment(p_centre_col, T_new)
+        T_adj = convective_adjustment(p_centre_col, T_new,
+                                      descending=p_descending)
         conv_mask = allowed & (jnp.abs(T_adj.reshape(-1) - T_new.reshape(-1))
                                > conv_thresh)             # base.py:190-192
         tsi = tsi.replace(convective=conv_mask)
@@ -246,7 +250,7 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
                           net_flux_thresh: float = 1e-7,
                           net_flux_percentile: float = 95,
-                          max_steps: int = 500_000):
+                          max_steps: int = 500_000, p_descending: bool = True):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
@@ -267,7 +271,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                                 net_flux_thresh=net_flux_thresh,
                                 net_flux_percentile=net_flux_percentile,
                                 conv_thresh=conv_thresh,
-                                conv_t_multiplier=conv_t_multiplier)
+                                conv_t_multiplier=conv_t_multiplier,
+                                p_descending=p_descending)
         # second iteration tightens the threshold (base.py:315-317)
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
         eqb = check_equilibrium(st.net_flux, delta, ft)

@@ -194,12 +194,15 @@ def convective_adjustment_single(p, T, lapse_rate=g / c_p_dry,
 
 
 def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
-                          p_reference=p_surface_earth, method='reference'):
+                          p_reference=p_surface_earth, method='reference',
+                          descending=None):
     """Vectorised convective adjustment over latitudes.
 
     :param p: [nz] pressures (ascending or descending, auto-flipped like
-        convective_adjustment.py:19-27; ordering must be static at trace time).
+        convective_adjustment.py:19-27).
     :param T: [nz] or [nz, ny] temperatures.
+    :param descending: pass the grid orientation explicitly when p is traced
+        (inside jit ordering can't be inspected); None -> infer from values.
     :return: adjusted temperatures, same shape as T.
     """
     p = jnp.asarray(p)
@@ -208,12 +211,11 @@ def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
     if T.ndim == 1:
         T = T[:, None]
         squeeze = True
-    try:
-        descending = bool(p[0] > p[1])
-    except jax.errors.TracerBoolConversionError:
-        # inside jit the grid ordering is fixed by the model; both column models
-        # pass descending p here, matching the reference's canonical ordering.
-        descending = True
+    if descending is None:
+        try:
+            descending = bool(p[0] > p[1])
+        except jax.errors.TracerBoolConversionError:
+            raise ValueError('pass descending= explicitly when p is traced')
     if not descending:
         p = jnp.flip(p)
         T = jnp.flip(T, axis=0)

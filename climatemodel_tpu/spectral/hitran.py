@@ -1,0 +1,370 @@
+"""HITRAN spectroscopy pipeline: line lists -> absorption-coefficient tables.
+
+Re-implements /root/reference/Model/radiation/real_gas_data/hitran.py.  The
+reference accumulates 1e4-1e5 Lorentzian lines one at a time in a Python loop
+(hitran.py:242); here the hot path is a vmapped windowed accumulation: each
+chunk of lines evaluates its Lorentzian profile over a fixed-width wavenumber
+window and scatter-adds into the [np x n_nu] grid in one fused XLA op.
+
+Lookup tables are ``{p [np], T [nT], nu [n_nu], absorption_coef [np x nT x n_nu]}``
+dicts saved as .npy (hitran.py:315-357).  The table *source* is pluggable: the
+upstream raw HITRAN .txt line files are not distributed, so the framework ships
+self-generated toy-gas tables ('gray', 'single_line' — the reference's test
+fixtures, real_gas_script.py:16-25) and regenerates molecule tables whenever
+line files are supplied.  Set CLIMATEMODEL_TPU_LUT_DIR to point at an external
+table folder.
+"""
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (Avogadro, h_planck, k_boltzmann, p_one_atmosphere,
+                         p_surface_earth, p_toa_earth, speed_of_light)
+from .humidity import molecules
+
+# reference conditions of HITRAN line parameters (hitran.py:29-30)
+p_reference = p_one_atmosphere
+T_reference = 296.0
+
+# default table grids (hitran.py:35-37)
+table_p_values = np.logspace(np.log10(p_surface_earth), np.log10(p_toa_earth),
+                             200)
+table_T_values = np.arange(250, 350 + 10, 20, dtype=float)
+table_dnu = 10.0
+
+required_fields = ['molec_id', 'local_iso_id', 'nu', 'sw', 'elower',
+                   'gamma_air', 'n_air']
+
+_PKG_DATA = os.path.join(os.path.dirname(__file__), 'data')
+DEFAULT_LINE_DATA_DIR = os.path.join(_PKG_DATA, 'HitranData')
+
+
+def lookup_table_folder():
+    return os.environ.get('CLIMATEMODEL_TPU_LUT_DIR',
+                          os.path.join(_PKG_DATA, 'LookupTables'))
+
+
+def table_path(molecule_name, folder=None):
+    return os.path.join(folder or lookup_table_folder(), molecule_name + '.npy')
+
+
+def load_table(molecule_name, folder=None):
+    """Load a lookup table dict; ``molecule_name`` may be a bare name resolved
+    against the table folder or a full path."""
+    path = molecule_name if molecule_name.endswith('.npy') else \
+        table_path(molecule_name, folder)
+    return np.load(path, allow_pickle=True).item()
+
+
+# --------------------------------------------------------------------------
+# line-parameter physics (hitran.py:127-179)
+# --------------------------------------------------------------------------
+
+def s_conversion(s, M):
+    """Line intensity (cm^-1/(molec cm^-2)) -> (cm^-1 m^2 kg^-1)
+    (hitran.py:127-135)."""
+    return 0.1 * Avogadro / M * s
+
+
+def gamma_extrapolate(p, T, gamma_reference, n):
+    """Lorentz half-width at (p, T) from the reference-condition width
+    (hitran.py:138-150; Pierrehumbert eq. 4.61)."""
+    return gamma_reference * (p / p_reference) * (T_reference / T) ** n
+
+
+def s_extrapolate(T, s_reference, wave_number_line_center, n):
+    """Line-strength temperature scaling (hitran.py:153-167; eq. 4.62)."""
+    freq = 100.0 * wave_number_line_center * speed_of_light
+    return s_reference * (T / T_reference) ** n * \
+        jnp.exp(-(h_planck * freq / k_boltzmann) * (1 / T - 1 / T_reference))
+
+
+def lorentzian_profile(wave_number_array, wave_number_line_center, gamma):
+    """Pressure-broadened line shape (hitran.py:170-179)."""
+    return (1.0 / jnp.pi) * gamma / (gamma ** 2 +
+                                     (wave_number_array
+                                      - wave_number_line_center) ** 2)
+
+
+# --------------------------------------------------------------------------
+# line accumulation (hitran.py:182-247), vectorised
+# --------------------------------------------------------------------------
+
+def get_absorption_coefficient(p, T, wavenumber_array, molecule_data,
+                               n_line_widths=1000, chunk=512):
+    """Absorption-coefficient grid [np x n_nu]: sum of all lines of a molecule.
+
+    Each line contributes over a window of +-n_line_widths half-widths around
+    its centre (wavenumbers_near_line, hitran.py:182-199); lines are processed
+    in vmapped chunks with masked scatter-add instead of the reference's
+    per-line Python loop.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    T = np.asarray(T, dtype=np.float64)
+    nu_grid = np.asarray(wavenumber_array, dtype=np.float64)
+    n_nu = nu_grid.size
+    d_nu = nu_grid[1] - nu_grid[0] if n_nu > 1 else 1.0
+    L = len(molecule_data['nu'])
+    if L == 0:
+        return np.zeros((p.size, n_nu))
+
+    nu_l = np.asarray(molecule_data['nu'], dtype=np.float64)
+    sw_l = np.asarray(molecule_data['sw'], dtype=np.float64)
+    gam_l = np.asarray(molecule_data['gamma_air'], dtype=np.float64)
+    nair_l = np.asarray(molecule_data['n_air'], dtype=np.float64)
+
+    # per-line window half-size in bins, from the max gamma over the p column
+    gamma_all = gamma_extrapolate(p[:, None], T[:, None], gam_l[None, :],
+                                  nair_l[None, :])          # [np, L]
+    n_w = (n_line_widths * np.asarray(gamma_all).max(axis=0) / d_nu).astype(int)
+    W = int(min(2 * n_w.max() + 1, 2 * n_nu + 1))
+    centre = np.abs(nu_grid[None, :] - nu_l[:, None]).argmin(axis=1)  # [L]
+
+    rel = jnp.arange(W) - W // 2                                      # [W]
+    p_j = jnp.asarray(p)
+    T_j = jnp.asarray(T)
+    nu_grid_j = jnp.asarray(nu_grid)
+
+    def chunk_contribution(args):
+        nu_c, s_ref, g_ref, n_air, c_idx, half = args                # [C]
+        idx = c_idx[:, None] + rel[None, :]                          # [C, W]
+        in_win = (jnp.abs(rel)[None, :] <= half[:, None]) & \
+            (idx >= 0) & (idx <= n_nu - 1)
+        idx_c = jnp.clip(idx, 0, n_nu - 1)
+        gamma = gamma_extrapolate(p_j[:, None], T_j[:, None],
+                                  g_ref[None, :], n_air[None, :])    # [np, C]
+        strength = s_extrapolate(T_j[:, None], s_ref[None, :],
+                                 nu_c[None, :], n_air[None, :])      # [np, C]
+        shape = lorentzian_profile(nu_grid_j[idx_c][None],            # [1, C, W]
+                                   nu_c[None, :, None],
+                                   gamma[:, :, None])                 # [np, C, W]
+        vals = strength[:, :, None] * shape * in_win[None]
+        return idx_c, vals
+
+    @jax.jit
+    def accumulate(acc, args):
+        idx_c, vals = chunk_contribution(args)
+        C, Wd = idx_c.shape
+        return acc.at[:, idx_c.reshape(-1)].add(
+            vals.reshape(vals.shape[0], C * Wd))
+
+    acc = jnp.zeros((p.size, n_nu), jnp.float64 if
+                    jax.config.jax_enable_x64 else jnp.float32)
+    for s in range(0, L, chunk):
+        e = min(s + chunk, L)
+        pad = chunk - (e - s)
+        def padded(a, fill=0):
+            out = np.full((chunk,), fill, dtype=a.dtype)
+            out[:e - s] = a[s:e]
+            return jnp.asarray(out)
+        args = (padded(nu_l, fill=nu_grid[0]), padded(sw_l), padded(gam_l, 1e-6),
+                padded(nair_l), padded(centre.astype(np.int32)),
+                padded(n_w.astype(np.int32), fill=-1))
+        acc = accumulate(acc, args)
+    return np.asarray(acc)
+
+
+# --------------------------------------------------------------------------
+# line-list IO (hitran.py:40-124)
+# --------------------------------------------------------------------------
+
+def load_molecule_data(molecule_name, data_folder=None):
+    """Load a HITRAN .txt line list, keep the main isotopologue, convert
+    intensities (hitran.py:40-58)."""
+    folder = data_folder or DEFAULT_LINE_DATA_DIR
+    molecule_file = os.path.join(folder, molecule_name + '.txt')
+    data = np.genfromtxt(molecule_file, names=True)
+    keep = np.logical_and(data['molec_id'] ==
+                          molecules[molecule_name]['hitran_id'],
+                          data['local_iso_id'] == 1)
+    data = data[keep]
+    out = {field: data[field] for field in required_fields[2:]}
+    out['sw'] = s_conversion(out['sw'], molecules[molecule_name]['M'])
+    return out
+
+
+def get_wavenumber_array(molecule_data, dwavenumber=10, bin_spacing=500,
+                         hist_thresh=100, n_line_widths=1000):
+    """Auto wavenumber range from a strength-weighted line histogram
+    (hitran.py:71-111)."""
+    weights = molecule_data['sw'].copy()
+    with np.errstate(divide='ignore'):
+        small = np.log10(weights) < -5
+    weights[small] = 99
+    weights[weights < 1] = 1
+    weights[weights == 99] = 0.1
+    weights[weights > 100] = 100
+
+    nu = molecule_data['nu']
+    g = molecule_data['gamma_air']
+    bins = np.arange(nu.min() - n_line_widths * g[nu.argmin()],
+                     nu.max() + n_line_widths * g[nu.argmax()]
+                     + bin_spacing - 2, bin_spacing)
+    hist, _ = np.histogram(nu, bins, weights=weights)
+    below = np.where(hist < hist_thresh)[0]
+    clusters = np.split(below, np.where(np.diff(below) != 1)[0] + 1) \
+        if below.size else []
+    if not np.any(below == 0):
+        bin_min = 0
+    else:
+        bin_min = max(clusters[0]) + 1
+    if not np.any(below == len(hist) - 1):
+        bin_max = len(hist)
+    else:
+        bin_max = min(clusters[-1])
+    wavenumber_min = dwavenumber * round(math.floor(bins[bin_min] / dwavenumber))
+    wavenumber_max = dwavenumber * round(math.ceil(bins[bin_max] / dwavenumber))
+    return np.arange(wavenumber_min, wavenumber_max + dwavenumber / 2,
+                     dwavenumber)
+
+
+def update_molecule_data(molecule_data, wavenumber_array):
+    """Drop lines outside the wavenumber range (hitran.py:114-124)."""
+    keep = np.logical_and(molecule_data['nu'] >= wavenumber_array.min(),
+                          molecule_data['nu'] <= wavenumber_array.max())
+    return {key: molecule_data[key][keep] for key in molecule_data}
+
+
+# --------------------------------------------------------------------------
+# UV cross-section data (hitran.py:250-312)
+# --------------------------------------------------------------------------
+
+def load_from_cross_section_xsc(wavenumber_array, p_array, T_array,
+                                molecule='O3', data_folder=None,
+                                return_raw=False):
+    """Read a HITRAN .xsc UV cross-section file and extend the IR grid with
+    pressure/temperature-independent UV absorption (O3 extrapolated
+    symmetrically about its peak, 10 cm^-1 boxcar-averaged)."""
+    folder = data_folder or DEFAULT_LINE_DATA_DIR
+    name = {'O3': 'O3_UV_273.xsc', 'CFC12': 'CFC12.xsc'}.get(molecule.upper())
+    if name is None:
+        raise ValueError('Molecule is not valid')
+    file = os.path.join(folder, name)
+    with open(file) as f:
+        header = f.readline().rstrip().split('\t')
+    min_nu, max_nu, N_nu = float(header[1]), float(header[2]), int(header[3])
+    nu = np.linspace(min_nu, max_nu, N_nu)
+    d_nu_raw = nu[1] - nu[0]
+    absorption = np.genfromtxt(file, skip_header=1).flatten()[:-1]
+    absorption = s_conversion(absorption, molecules[molecule.upper()]['M'])
+    if return_raw:
+        return nu, absorption
+    if molecule.upper() == 'O3':
+        # extrapolate beyond the data assuming symmetry about the peak
+        max_ind = absorption.argmax()
+        rep_end = np.where(absorption < absorption[-1])[0]
+        rep_end = rep_end[rep_end < max_ind][-1]
+        repeat_nu = nu[:rep_end + 1] - nu.min() + d_nu_raw + nu[-1]
+        nu = np.concatenate((nu, repeat_nu))
+        absorption = np.concatenate((absorption,
+                                     absorption[:rep_end + 1][::-1]))
+    # boxcar-average onto the coarse (10 cm^-1) grid
+    d_nu_target = int(round(wavenumber_array[1] - wavenumber_array[0]))
+    kernel = np.ones(d_nu_target + 1) / (d_nu_target + 1)
+    nu_conv = np.convolve(nu, kernel, mode='valid')
+    abs_conv = np.convolve(absorption, kernel, mode='valid')
+    use = np.divmod(nu_conv, d_nu_target)[1] == 0
+    nu_final = nu_conv[use]
+    abs_final = abs_conv[use]
+    abs_final[0] = 1e-15   # so the UV-IR gap reads as zero absorption
+    if nu_final[0] < wavenumber_array[-1]:
+        raise ValueError('UV and IR wavenumber regions overlap')
+    wavenumber_final = np.concatenate((wavenumber_array, nu_final))
+    grid = np.zeros((np.size(p_array), np.size(T_array),
+                     np.size(wavenumber_final)))
+    uv_index = np.where(wavenumber_final.reshape(-1, 1) == nu_final)[0]
+    grid[:, :, uv_index] = abs_final
+    return wavenumber_final, grid
+
+
+# --------------------------------------------------------------------------
+# table construction (hitran.py:315-357)
+# --------------------------------------------------------------------------
+
+def make_table(molecule_name, p_array=table_p_values, T_array=table_T_values,
+               dwavenumber=table_dnu, n_line_widths=1000,
+               wavenumber_array=None, data_folder=None, output_folder=None,
+               overwrite=False, verbose=False):
+    """Build and save a [np x nT x n_nu] absorption-coefficient lookup table.
+
+    ``molecule_name`` may be a molecule string (requires a HITRAN .txt line
+    file) or a dict of line arrays for fabricated/toy gases
+    (real_gas_script.py:16-25)."""
+    if isinstance(molecule_name, dict):
+        molecule_data = molecule_name
+        molecule_name = 'custom'
+    out_folder = output_folder or lookup_table_folder()
+    os.makedirs(out_folder, exist_ok=True)
+    output_file = table_path(molecule_name, out_folder)
+    if os.path.isfile(output_file) and not overwrite:
+        raise ValueError('Lookuptable file already exists')
+    p_array = np.asarray(p_array, dtype=np.float64)
+    T_array = np.asarray(T_array, dtype=np.float64)
+    if molecule_name.lower() not in ('custom', 'cfc12'):
+        molecule_data = load_molecule_data(molecule_name, data_folder)
+    elif wavenumber_array is None:
+        raise ValueError(
+            f'wavenumber_array must be specified for molecule={molecule_name}')
+    if wavenumber_array is None:
+        wavenumber_array = get_wavenumber_array(molecule_data, dwavenumber,
+                                                n_line_widths=n_line_widths)
+    if molecule_name.lower() not in ('custom', 'cfc12'):
+        molecule_data = update_molecule_data(molecule_data, wavenumber_array)
+    if molecule_name.upper() in ('O3', 'CFC12'):
+        wavenumber_array, grid = load_from_cross_section_xsc(
+            wavenumber_array, p_array, T_array, molecule=molecule_name,
+            data_folder=data_folder)
+    else:
+        grid = np.zeros((p_array.size, T_array.size, wavenumber_array.size))
+    final = {'p': p_array, 'T': T_array,
+             'nu': np.asarray(wavenumber_array, dtype=np.float64)}
+    if molecule_name.upper() != 'CFC12':
+        for i in range(T_array.size):
+            if verbose:
+                print(f'Obtaining absorption coefficient {i + 1}/{T_array.size}')
+            T = np.ones_like(p_array) * T_array[i]
+            grid[:, i, :] += get_absorption_coefficient(
+                p_array, T, wavenumber_array, molecule_data, n_line_widths)
+    final['absorption_coef'] = grid
+    np.save(output_file, final)   # type: ignore[arg-type]
+    return final
+
+
+# --------------------------------------------------------------------------
+# shipped toy gases (the reference's spectroscopy test fixtures)
+# --------------------------------------------------------------------------
+
+def make_single_line_table(output_folder=None, overwrite=True):
+    """Toy gas: one wide strong line at the Planck peak
+    (real_gas_script.py:16-25)."""
+    line = {'nu': np.array([525.0]), 'sw': np.array([500.0]),
+            'gamma_air': np.array([0.1]), 'n_air': np.array([0.7])}
+    table = make_table(line, wavenumber_array=np.arange(320, 722, 10,
+                                                        dtype=float),
+                       p_array=np.array([p_reference]),
+                       T_array=np.array([T_reference]),
+                       output_folder=output_folder, overwrite=overwrite)
+    folder = output_folder or lookup_table_folder()
+    os.replace(table_path('custom', folder), table_path('single_line', folder))
+    return table
+
+
+def make_gray_table(k=1.0, nu_max=5000.0, output_folder=None, overwrite=True):
+    """Toy gas: constant absorption coefficient k over 0..nu_max
+    (coast_talk gray fixture)."""
+    nu = np.arange(0.0, nu_max + table_dnu / 2, table_dnu)
+    grid = np.full((1, 1, nu.size), float(k))
+    final = {'p': np.array([p_reference]), 'T': np.array([T_reference]),
+             'nu': nu, 'absorption_coef': grid}
+    folder = output_folder or lookup_table_folder()
+    os.makedirs(folder, exist_ok=True)
+    path = table_path('gray', folder)
+    if os.path.isfile(path) and not overwrite:
+        raise ValueError('Lookuptable file already exists')
+    np.save(path, final)   # type: ignore[arg-type]
+    return final

@@ -1,0 +1,124 @@
+"""HITRAN spectroscopy pipeline: the vectorised line accumulation, toy-gas
+table generators and the UV cross-section loader, validated against the
+executed reference and its surviving lookup tables."""
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+
+import reference_harness as rh
+from climatemodel_tpu.spectral import hitran
+
+REF_DATA = '/root/reference/Model/radiation/real_gas_data/HitranData'
+REF_LUT = os.path.join(REF_DATA, 'LookupTables')
+
+pytestmark = pytest.mark.skipif(not rh.reference_available(),
+                                reason='reference tree not mounted')
+
+
+def _ref_hitran():
+    rh.import_reference_base()
+    import Model.radiation.real_gas_data.hitran as ref_h
+    return ref_h
+
+
+def test_single_line_table_matches_stored_reference(tmp_path):
+    """Our generator must reproduce the reference's shipped single_line.npy
+    exactly (real_gas_script.py:16-25 recipe)."""
+    tab = hitran.make_single_line_table(output_folder=str(tmp_path))
+    ref_tab = np.load(os.path.join(REF_LUT, 'single_line.npy'),
+                      allow_pickle=True).item()
+    np.testing.assert_array_equal(tab['nu'], ref_tab['nu'])
+    np.testing.assert_array_equal(tab['p'], ref_tab['p'])
+    np.testing.assert_array_equal(tab['T'], ref_tab['T'])
+    np.testing.assert_allclose(tab['absorption_coef'],
+                               ref_tab['absorption_coef'], rtol=1e-12)
+
+
+def test_gray_table_matches_stored_reference(tmp_path):
+    tab = hitran.make_gray_table(output_folder=str(tmp_path))
+    ref_tab = np.load(os.path.join(REF_LUT, 'gray.npy'),
+                      allow_pickle=True).item()
+    np.testing.assert_array_equal(tab['nu'], ref_tab['nu'])
+    np.testing.assert_allclose(tab['absorption_coef'],
+                               ref_tab['absorption_coef'])
+
+
+def test_vectorised_accumulation_matches_reference_loop():
+    """Random synthetic line list: the chunked scatter-add equals the
+    reference's per-line Python loop (hitran.py:223-247)."""
+    ref_h = _ref_hitran()
+    rng = np.random.default_rng(5)
+    L = 60
+    lines = {'nu': np.sort(rng.uniform(200, 1200, L)),
+             'sw': 10.0 ** rng.uniform(-2, 2, L),
+             'gamma_air': rng.uniform(0.02, 0.12, L),
+             'n_air': rng.uniform(0.4, 0.9, L),
+             'elower': np.zeros(L)}
+    p = np.logspace(np.log10(101320), np.log10(1000), 30)
+    T = np.full(30, 280.0)
+    nu = np.arange(150.0, 1300.0, 10.0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_grid = ref_h.get_absorption_coefficient(p, T, nu, 'syn',
+                                                    dict(lines),
+                                                    n_line_widths=1000)
+    my_grid = hitran.get_absorption_coefficient(p, T, nu, lines,
+                                                n_line_widths=1000, chunk=17)
+    np.testing.assert_allclose(my_grid, ref_grid, rtol=1e-10, atol=1e-14)
+
+
+def test_gamma_s_extrapolation_match_reference():
+    ref_h = _ref_hitran()
+    p = np.logspace(5, 2, 20)
+    T = np.linspace(250, 320, 20)
+    np.testing.assert_allclose(
+        np.asarray(hitran.gamma_extrapolate(p, T, 0.08, 0.7)),
+        ref_h.gamma_extrapolate(p, T, 0.08, 0.7))
+    np.testing.assert_allclose(
+        np.asarray(hitran.s_extrapolate(T, 3.5, 667.0, 0.7)),
+        ref_h.s_extrapolate(T, 3.5, 667.0, 0.7), rtol=1e-12)
+
+
+def test_wavenumber_array_from_synthetic_lines():
+    ref_h = _ref_hitran()
+    rng = np.random.default_rng(8)
+    L = 500
+    lines = {'nu': np.sort(rng.normal(900, 120, L)),
+             'sw': 10.0 ** rng.uniform(-6, 3, L),
+             'gamma_air': rng.uniform(0.02, 0.12, L)}
+    mine = hitran.get_wavenumber_array(dict(lines))
+    theirs = ref_h.get_wavenumber_array(dict(lines))
+    np.testing.assert_array_equal(mine, theirs)
+
+
+def test_xsc_loader_matches_reference():
+    """O3 UV cross-sections: raw read and full grid-extension path
+    (hitran.py:250-312), driven on the reference's .xsc data files."""
+    ref_h = _ref_hitran()
+    nu_ir = np.arange(0.0, 1505.0, 10.0)
+    p = np.logspace(5, 2, 10)
+    T = np.array([250.0, 290.0])
+    nu_r, k_r = ref_h.load_from_cross_section_xsc(nu_ir, p, T, molecule='O3',
+                                                  return_raw=True)
+    nu_m, k_m = hitran.load_from_cross_section_xsc(nu_ir, p, T, molecule='O3',
+                                                   data_folder=REF_DATA,
+                                                   return_raw=True)
+    np.testing.assert_allclose(nu_m, nu_r)
+    np.testing.assert_allclose(k_m, k_r)
+    full_nu_r, grid_r = ref_h.load_from_cross_section_xsc(nu_ir, p, T, 'O3')
+    full_nu_m, grid_m = hitran.load_from_cross_section_xsc(
+        nu_ir, p, T, 'O3', data_folder=REF_DATA)
+    np.testing.assert_allclose(full_nu_m, full_nu_r)
+    np.testing.assert_allclose(grid_m, grid_r)
+
+
+def test_shipped_tables_exist_or_generate(tmp_path):
+    """The framework can always fabricate its toy-gas tables from scratch."""
+    hitran.make_single_line_table(output_folder=str(tmp_path))
+    hitran.make_gray_table(output_folder=str(tmp_path))
+    t1 = hitran.load_table('single_line', str(tmp_path))
+    t2 = hitran.load_table('gray', str(tmp_path))
+    assert t1['absorption_coef'].shape == (1, 1, 41)
+    assert t2['absorption_coef'].shape == (1, 1, 501)
