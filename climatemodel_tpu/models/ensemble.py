@@ -1,0 +1,79 @@
+"""Ensemble (batched) column marches: vmap/pjit over independent columns.
+
+The reference marches one world at a time in a Python loop; parameter sweeps
+(ice-albedo, GHG ladders) and throughput benchmarks instead batch thousands of
+independent columns as a leading vmap axis over the whole compiled
+march-to-equilibrium (SURVEY.md section 2, "Data parallel / ensemble parallel").
+Under vmap, the ``lax.while_loop`` runs lock-step until every member converges,
+with already-converged members frozen — each member keeps its own adaptive dt,
+RemoveInd mask and simulated time.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import column
+from .grey import GreyForcing, GreyGas, grey_net_flux
+from .column import ColumnState
+
+
+def broadcast_state(state: ColumnState, n: int) -> ColumnState:
+    """Tile a single-column state along a new leading ensemble axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), state)
+
+
+def grey_ensemble_forcing(world: GreyGas, F_stellar_values) -> GreyForcing:
+    """Batched forcing varying the stellar constant across members."""
+    n = len(F_stellar_values)
+    base = world.forcing
+    tile = lambda x: jnp.broadcast_to(x, (n,) + x.shape)
+    return GreyForcing(
+        dtau=tile(base.dtau), tau_sw_interface=tile(base.tau_sw_interface),
+        albedo_mod=tile(base.albedo_mod),
+        solar_latitude_factor=tile(base.solar_latitude_factor),
+        F_stellar=jnp.asarray(F_stellar_values, base.F_stellar.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
+                                             'net_flux_percentile'))
+def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
+                         p_interface, p_centre_col, flux_thresh,
+                         convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
+                         conv_t_multiplier=5.0, net_flux_thresh=1e-7,
+                         net_flux_percentile=95, max_steps=500_000):
+    """vmapped march-to-equilibrium over a leading ensemble axis of
+    (states, forcings); the pressure grid is shared."""
+    def one(state, forcing):
+        net_fn = lambda T: grey_net_flux(T, forcing)
+        return column.evolve_to_equilibrium(
+            state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
+            convective_adjust=convective_adjust, t_end=t_end,
+            conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
+            net_flux_thresh=net_flux_thresh,
+            net_flux_percentile=net_flux_percentile, max_steps=max_steps)
+    return jax.vmap(one)(states, forcings)
+
+
+def grey_ensemble(world: GreyGas, F_stellar_values):
+    """Convenience: batched (states, forcings, grids) from a template world."""
+    from ..constants import sigma
+    n = len(F_stellar_values)
+    states = broadcast_state(world.state, n)
+    # isothermal initial condition consistent with each member's forcing
+    # (base.py:51-73 per member)
+    F = np.asarray(F_stellar_values, dtype=np.float64)[:, None]       # [n, 1]
+    T0 = (F * world.solar_latitude_factor[None]
+          * (1 - world.albedo_mod[None]) / 4 / sigma) ** 0.25         # [n, ny]
+    T_init = np.broadcast_to(T0[:, None, :], (n,) + world.T.shape)
+    states = states.replace(
+        T=jnp.asarray(T_init, world.dtype),
+        net_flux=jnp.zeros_like(states.net_flux))
+    forcings = grey_ensemble_forcing(world, F_stellar_values)
+    p_int = jnp.asarray(world.p_interface, world.dtype)
+    p_c = jnp.asarray(world.p[:, 0], world.dtype)
+    return states, forcings, p_int, p_c

@@ -254,6 +254,20 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
     dt = jnp.where(state.t > 0, dt_cfl, state.dt)
     ok = state.ok & (dt >= 10.0)
 
+    if solver == 'richtmyer_pallas':
+        # fused Pallas TPU kernel: one HBM pass per step (ops/pallas_stencils)
+        from ..ops.pallas_stencils import richtmyer_step_interior
+        interpret = jax.default_backend() != 'tpu'
+        hi, ui, vi = richtmyer_step_interior(
+            h, u, v, params.f_coriolis[1:-1, 1:-1],
+            stencils.centered_diff_x(params.h_base, params.dx),
+            stencils.centered_diff_y(params.h_base, params.dy),
+            dt, params.g, params.dx, params.dy, interpret=interpret)
+        h_new = h.at[1:-1, 1:-1].set(hi)
+        u_new = u.at[1:-1, 1:-1].set(ui)
+        v_new = v.at[1:-1, 1:-1].set(vi)
+        return _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt,
+                            ok, bx, by, wind_type)
     flux_x = make_flux_x(params.g, params.h_mean, linear)
     flux_y = make_flux_y(params.g, params.h_mean, linear)
     source = make_source(params.g, params.f_coriolis, params.h_base,
@@ -268,6 +282,14 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
         U = stencils.SCHEMES[solver](U, flux_x, flux_y, source, dt, params.dx,
                                      params.dy, [0])
     h_new, u_new, v_new = get_physical_values(U, linear)
+    return _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt, ok,
+                        bx, by, wind_type)
+
+
+def _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt, ok, bx, by,
+                 wind_type):
+    """Damping, wind feedback, boundary conditions, abort freeze
+    (shallow_water.py:362-373)."""
     # Rayleigh damping against the *pre-step* velocities (shallow_water.py:362-363)
     u_new = u_new - params.r * dt * u
     v_new = v_new - params.r * dt * v
@@ -335,8 +357,11 @@ class ShallowWater:
         self.g = float(g)
         self.linear = bool(linear)
         self.numerical_solver = numerical_solver
-        if numerical_solver not in stencils.SCHEMES:
+        if numerical_solver not in tuple(stencils.SCHEMES) + ('richtmyer_pallas',):
             raise ValueError(f'unknown solver {numerical_solver!r}')
+        if numerical_solver == 'richtmyer_pallas' and linear:
+            raise ValueError('richtmyer_pallas supports the nonlinear '
+                             'equations only')
         self.orography_info = orography_info
         self.initial_info = initial_info
         if boundary_type is None:
@@ -519,6 +544,19 @@ class ShallowWater:
 
     @property
     def params(self) -> SWParams:
+        """Device-resident forcing/geometry pytree; cached — the grid geometry
+        is immutable after construction, and re-uploading the [nx, ny] arrays
+        on every access dominates wall time on a tunneled accelerator.  Call
+        invalidate_params() after mutating geometry attributes by hand."""
+        if getattr(self, '_params_cache', None) is not None:
+            return self._params_cache
+        self._params_cache = self._build_params()
+        return self._params_cache
+
+    def invalidate_params(self):
+        self._params_cache = None
+
+    def _build_params(self) -> SWParams:
         d = self.dtype
         if self.wind_type is not None:
             w = self.initial_info['wind']

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: fused nonlinear Richtmyer shallow-water step.
+
+The jnp stencil path (ops/stencils.py) materialises ~20 field-sized
+intermediates per step (conservative form, F/G fluxes, half-step states,
+half-step fluxes, source) — HBM traffic dominates on TPU.  This kernel fuses
+the whole interior update — conservative form, both Richtmyer stages, and the
+Coriolis/orography source with the reference's half-time h (include_source,
+numerical_methods.py:108-132) — into one pass: each grid step DMAs a band of
+full-width rows (with one halo row each side) of h/u/v from HBM into VMEM,
+computes entirely in VMEM, and writes the interior band of the updated
+physical fields.  Per step the only HBM traffic is ~3 reads + 3 writes of the
+field set.
+
+Mosaic constrains HBM slices to the (8, 128) tile grid, so the row bands are
+8-aligned: the band height TX divides the interior rows and the DMA window is
+TX+8 rows starting at the 8-aligned offset i*TX (the 6 trailing rows beyond the
+halo are dead weight); inputs are padded by 6 rows once per call to keep the
+last window in bounds.  The y axis is never sliced in HBM.
+
+Semantics match stencils.richtmyer + include_source + get_physical_values
+(same operations, fused); boundary conditions, CFL, damping and wind remain in
+the caller (models/shallow_water.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(dt_ref, g_ref, sx_ref, sy_ref,                  # SMEM scalars
+            h_hbm, u_hbm, v_hbm,                            # ANY (manual DMA)
+            fcor_ref, dhbx_ref, dhby_ref,                   # VMEM interior bands
+            h_out, u_out, v_out,                            # VMEM out bands
+            hh, uu, vv, sem,                                # scratch
+            *, TX, NY):
+    i = pl.program_id(0)
+    # interior band i covers full-array rows 1+i*TX .. i*TX+TX; with one halo
+    # row each side the window is rows [i*TX, i*TX+TX+1]; the DMA loads the
+    # 8-aligned superset [i*TX, i*TX+TX+7].
+    row0 = pl.multiple_of(i * TX, 8)
+    copies = [pltpu.make_async_copy(src.at[pl.ds(row0, TX + 8), :], dst,
+                                    sem.at[k])
+              for k, (src, dst) in enumerate(((h_hbm, hh), (u_hbm, uu),
+                                              (v_hbm, vv)))]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+    dt = dt_ref[0, 0]
+    g = g_ref[0, 0]
+    sx = sx_ref[0, 0]
+    sy = sy_ref[0, 0]
+
+    # compute on the real (unpadded) window only
+    h = hh[: TX + 2, :NY]
+    u = uu[: TX + 2, :NY]
+    v = vv[: TX + 2, :NY]
+    uh = h * u
+    vh = h * v
+    gh2 = 0.5 * g * h * h
+    # fluxes on the window (flux_x/flux_y, shallow_water.py:485-517)
+    F0, F1, F2 = uh, uh * u + gh2, uh * v
+    G0, G1, G2 = vh, uh * v, vh * v + gh2
+
+    # stage 1: half-step states (numerical_methods.py:68-75)
+    def half_x(q, Fq):
+        return (0.5 * (q[1:, 1:-1] + q[:-1, 1:-1])
+                - 0.5 * sx * (Fq[1:, 1:-1] - Fq[:-1, 1:-1]))
+
+    def half_y(q, Gq):
+        return (0.5 * (q[1:-1, 1:] + q[1:-1, :-1])
+                - 0.5 * sy * (Gq[1:-1, 1:] - Gq[1:-1, :-1]))
+
+    hx0 = half_x(h, F0)
+    hx1 = half_x(uh, F1)
+    hx2 = half_x(vh, F2)
+    hy0 = half_y(h, G0)
+    hy1 = half_y(uh, G1)
+    hy2 = half_y(vh, G2)
+
+    # stage 2: half-step fluxes and conservative update
+    inv_hx = 1.0 / hx0
+    Fh0 = hx1
+    Fh1 = hx1 * hx1 * inv_hx + 0.5 * g * hx0 * hx0
+    Fh2 = hx1 * hx2 * inv_hx
+    inv_hy = 1.0 / hy0
+    Gh0 = hy2
+    Gh1 = hy1 * hy2 * inv_hy
+    Gh2 = hy2 * hy2 * inv_hy + 0.5 * g * hy0 * hy0
+
+    def update(q, Fh, Gh):
+        return (q[1:-1, 1:-1] - sx * (Fh[1:, :] - Fh[:-1, :])
+                - sy * (Gh[:, 1:] - Gh[:, :-1]))
+
+    h_new = update(h, Fh0, Gh0)
+    uh_new = update(uh, Fh1, Gh1)
+    vh_new = update(vh, Fh2, Gh2)
+
+    # source at half-time h (include_source, numerical_methods.py:108-132):
+    # h commits first; momenta see h_mid = (h_new + h_old)/2, old uh/vh
+    h_mid = 0.5 * (h_new + h[1:-1, 1:-1])
+    inv_mid = 1.0 / h_mid
+    u_mid = uh[1:-1, 1:-1] * inv_mid
+    v_mid = vh[1:-1, 1:-1] * inv_mid
+    fcor = fcor_ref[:]
+    Q1 = h_mid * (fcor * v_mid - g * dhbx_ref[:])
+    Q2 = h_mid * (-fcor * u_mid - g * dhby_ref[:])
+    uh_new = uh_new + Q1 * dt
+    vh_new = vh_new + Q2 * dt
+
+    inv_new = 1.0 / h_new
+    h_out[:] = h_new
+    u_out[:] = uh_new * inv_new
+    v_out[:] = vh_new * inv_new
+
+
+def _pick_band(n, ny_pad=1024, vmem_budget=9 * 2 ** 20):
+    """Largest multiple-of-8 divisor of n whose working set fits the VMEM
+    budget (~15 band-sized f32 buffers live: 3 halo scratch, double-buffered
+    in/out tiles, temporaries).  Returns 0 if none."""
+    target = max(vmem_budget // (15 * 4 * ny_pad), 8)
+    t = min(int(target), n)
+    t -= t % 8
+    while t >= 8 and n % t:
+        t -= 8
+    return t
+
+
+def supports(nx, ny):
+    """Whether the fused kernel tiles this grid ((nx-2) needs a mult-of-8
+    divisor)."""
+    return _pick_band(nx - 2, -(-ny // 128) * 128) >= 8
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def richtmyer_step_interior(h, u, v, f_cor_int, dhb_dx, dhb_dy, dt, g, dx, dy,
+                            interpret=False):
+    """One fused nonlinear Richtmyer interior update.
+
+    :param h, u, v: [nx, ny] full fields including ghost cells (old values,
+        boundary conditions already applied).
+    :param f_cor_int, dhb_dx, dhb_dy: [nx-2, ny-2] interior Coriolis field and
+        orography gradients (centered differences of h_base).
+    :return: (h, u, v) interior [nx-2, ny-2] updated physical fields (before
+        damping / wind / boundary conditions).
+    """
+    nx, ny = h.shape
+    nxi, nyi = nx - 2, ny - 2
+    TX = _pick_band(nxi, -(-ny // 128) * 128)
+    if TX == 0:
+        raise ValueError(f'interior rows {nxi} have no multiple-of-8 divisor; '
+                         'use the jnp richtmyer solver for this grid')
+    grid = (nxi // TX,)
+    dtype = h.dtype
+    # pad 6 dead rows so the last 8-aligned DMA window stays in bounds, and
+    # pad lanes to a 128 multiple (Mosaic DMA tiling constraint)
+    ny_pad = -(-ny // 128) * 128
+    pad = ((0, 6), (0, ny_pad - ny))
+    h_p = jnp.pad(h, pad)
+    u_p = jnp.pad(u, pad)
+    v_p = jnp.pad(v, pad)
+    scalar = lambda x: jnp.asarray(x, dtype).reshape(1, 1)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    band_spec = pl.BlockSpec((TX, nyi), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nxi, nyi), dtype)
+    kernel = functools.partial(_kernel, TX=TX, NY=ny)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem, smem,
+                  any_spec, any_spec, any_spec,
+                  band_spec, band_spec, band_spec],
+        out_specs=(band_spec, band_spec, band_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((TX + 8, ny_pad), dtype),
+            pltpu.VMEM((TX + 8, ny_pad), dtype),
+            pltpu.VMEM((TX + 8, ny_pad), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(scalar(dt), scalar(g), scalar(dt / dx), scalar(dt / dy), h_p, u_p, v_p,
+      f_cor_int, dhb_dx, dhb_dy)

@@ -3,12 +3,16 @@
 Solves dU/dt + df(U)/dx + dg(U)/dy = Q(U) on a ghost-cell grid, re-implementing
 the four schemes of the reference
 (/root/reference/Model/dynamics/numerical_methods.py:11-132) as pure jnp stencil
-ops: every scheme is a handful of shifted-slice arithmetic expressions that XLA
-fuses into one pass over the grid (the TPU-native replacement for the
-reference's per-step NumPy temporaries).  Array layout matches the reference:
-U has shape [n_conserved, nx, ny] with one ghost cell on every side; schemes
-update the interior and leave ghosts untouched (boundary conditions are applied
-by the caller afterwards).
+ops that XLA fuses into a few passes over the grid.  Array layout matches the
+reference: U has shape [n_conserved, nx, ny] with one ghost cell on every side;
+schemes update the interior and leave ghosts untouched (boundary conditions are
+applied by the caller afterwards).
+
+Unlike the reference, which re-evaluates the flux closures on every shifted
+window, each stage evaluates f/g ONCE on the full (or half-step) array and
+takes shifted slices of the result — elementwise fluxes give bit-identical
+values while halving the arithmetic and, more importantly on TPU, the HBM
+traffic of the fused step.
 """
 from __future__ import annotations
 
@@ -30,10 +34,12 @@ def lax_friedrichs(u, f, g, Q, dt, dx, dy, no_source_ind=()):
     un = u
     sx = dt / dx
     sy = dt / dy
+    F = f(un)
+    G = g(un)
     u_new = (0.25 * (un[:, 2:, 1:-1] + un[:, :-2, 1:-1]
                      + un[:, 1:-1, 2:] + un[:, 1:-1, :-2])
-             - 0.5 * sx * (f(un[:, 2:, 1:-1]) - f(un[:, :-2, 1:-1]))
-             - 0.5 * sy * (g(un[:, 1:-1, 2:]) - g(un[:, 1:-1, :-2])))
+             - 0.5 * sx * (F[:, 2:, 1:-1] - F[:, :-2, 1:-1])
+             - 0.5 * sy * (G[:, 1:-1, 2:] - G[:, 1:-1, :-2]))
     return include_source(u, un, u_new, Q, no_source_ind, dt)
 
 
@@ -43,13 +49,17 @@ def richtmyer(u, f, g, Q, dt, dx, dy, no_source_ind=()):
     un = u
     sx = dt / dx
     sy = dt / dy
+    F = f(un)
+    G = g(un)
     u_half_x = (0.5 * (un[:, 1:, 1:-1] + un[:, :-1, 1:-1])
-                - 0.5 * sx * (f(un[:, 1:, 1:-1]) - f(un[:, :-1, 1:-1])))
+                - 0.5 * sx * (F[:, 1:, 1:-1] - F[:, :-1, 1:-1]))
     u_half_y = (0.5 * (un[:, 1:-1, 1:] + un[:, 1:-1, :-1])
-                - 0.5 * sy * (g(un[:, 1:-1, 1:]) - g(un[:, 1:-1, :-1])))
+                - 0.5 * sy * (G[:, 1:-1, 1:] - G[:, 1:-1, :-1]))
+    F_h = f(u_half_x)
+    G_h = g(u_half_y)
     u_new = (un[:, 1:-1, 1:-1]
-             - sx * (f(u_half_x[:, 1:, :]) - f(u_half_x[:, :-1, :]))
-             - sy * (g(u_half_y[:, :, 1:]) - g(u_half_y[:, :, :-1])))
+             - sx * (F_h[:, 1:, :] - F_h[:, :-1, :])
+             - sy * (G_h[:, :, 1:] - G_h[:, :, :-1]))
     return include_source(u, un, u_new, Q, no_source_ind, dt)
 
 
@@ -58,12 +68,16 @@ def maccormack(u, f, g, Q, dt, dx, dy, no_source_ind=()):
     un = u
     sx = dt / dx
     sy = dt / dy
+    F = f(un)
+    G = g(un)
     u_pred = (un[:, :-1, :-1]
-              - sx * (f(un[:, 1:, :-1]) - f(un[:, :-1, :-1]))
-              - sy * (g(un[:, :-1, 1:]) - g(un[:, :-1, :-1])))
+              - sx * (F[:, 1:, :-1] - F[:, :-1, :-1])
+              - sy * (G[:, :-1, 1:] - G[:, :-1, :-1]))
+    F_p = f(u_pred)
+    G_p = g(u_pred)
     u_new = (0.5 * (un[:, 1:-1, 1:-1] + u_pred[:, 1:, 1:])
-             - 0.5 * sx * (f(u_pred[:, 1:, 1:]) - f(u_pred[:, :-1, 1:]))
-             - 0.5 * sx * (g(u_pred[:, 1:, 1:]) - g(u_pred[:, 1:, :-1])))
+             - 0.5 * sx * (F_p[:, 1:, 1:] - F_p[:, :-1, 1:])
+             - 0.5 * sx * (G_p[:, 1:, 1:] - G_p[:, 1:, :-1]))
     return include_source(u, un, u_new, Q, no_source_ind, dt)
 
 
@@ -79,18 +93,20 @@ def lax_wendroff(u, f, g, Q, dt, dx, dy, no_source_ind, nx, ny, A, B):
     un = u
     sx = dt / dx
     sy = dt / dy
+    F = f(un)
+    G = g(un)
     A_ph = A(0.5 * (un[:, 2:, 1:-1] + un[:, 1:-1, 1:-1]))
-    A_ph_term = jacobian_mult(A_ph, f(un[:, 2:, 1:-1]) - f(un[:, 1:-1, 1:-1]))
+    A_ph_term = jacobian_mult(A_ph, F[:, 2:, 1:-1] - F[:, 1:-1, 1:-1])
     A_mh = A(0.5 * (un[:, 1:-1, 1:-1] + un[:, :-2, 1:-1]))
-    A_mh_term = jacobian_mult(A_mh, f(un[:, 1:-1, 1:-1]) - f(un[:, :-2, 1:-1]))
+    A_mh_term = jacobian_mult(A_mh, F[:, 1:-1, 1:-1] - F[:, :-2, 1:-1])
     B_ph = B(0.5 * (un[:, 1:-1, 2:] + un[:, 1:-1, 1:-1]))
-    B_ph_term = jacobian_mult(B_ph, g(un[:, 1:-1, 2:]) - g(un[:, 1:-1, 1:-1]))
+    B_ph_term = jacobian_mult(B_ph, G[:, 1:-1, 2:] - G[:, 1:-1, 1:-1])
     B_mh = B(0.5 * (un[:, 1:-1, 1:-1] + un[:, 1:-1, :-2]))
-    B_mh_term = jacobian_mult(B_mh, g(un[:, 1:-1, 1:-1]) - g(un[:, 1:-1, :-2]))
+    B_mh_term = jacobian_mult(B_mh, G[:, 1:-1, 1:-1] - G[:, 1:-1, :-2])
     u_new = (un[:, 1:-1, 1:-1]
-             - 0.5 * sx * (f(un[:, 2:, 1:-1]) - f(un[:, :-2, 1:-1]))
+             - 0.5 * sx * (F[:, 2:, 1:-1] - F[:, :-2, 1:-1])
              + 0.5 * sx ** 2 * (A_ph_term - A_mh_term)
-             - 0.5 * sy * (g(un[:, 1:-1, 2:]) - g(un[:, 1:-1, :-2]))
+             - 0.5 * sy * (G[:, 1:-1, 2:] - G[:, 1:-1, :-2])
              + 0.5 * sy ** 2 * (B_ph_term - B_mh_term))
     return include_source(u, un, u_new, Q, no_source_ind, dt)
 

@@ -1,0 +1,51 @@
+"""Real-gas band radiation experiments (reference driver: real_gas_script.py).
+
+The upstream raw HITRAN line lists are not distributed, so the default run uses
+the shipped ``single_line`` toy gas (the reference's own spectroscopy fixture,
+real_gas_script.py:16-25); point CLIMATEMODEL_TPU_LUT_DIR at a folder with
+CO2/CH4/H2O/O3 tables (regenerable with climatemodel_tpu.spectral.hitran
+make_table once line files are supplied) to run the full Earth composition.
+"""
+import os
+
+import matplotlib
+if os.environ.get('DISPLAY', '') == '':
+    matplotlib.use('Agg')
+import matplotlib.pyplot as plt
+
+from climatemodel_tpu.diagnostics.animation import Animate
+from climatemodel_tpu.models.real_gas import RealGas
+from climatemodel_tpu.spectral import humidity
+
+OUT = os.path.dirname(__file__)
+conv_adjust = False
+
+'''Making hitran absorption coef data (real_gas_script.py:15-25)'''
+# from climatemodel_tpu.spectral import hitran
+# hitran.make_single_line_table()          # fabricated toy gas
+# hitran.make_table('CO2', wavenumber_array=np.arange(0, 1505, 10.0))
+
+'''Earth composition (needs molecule tables): real_gas_script.py:43-59'''
+# gas = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+#               T_g=265.19, p_toa=0.1, temp_change=1, delta_temp_change=0.1)
+
+'''Single-line toy gas'''
+gas = RealGas(nz='auto', ny=1, molecule_names=['single_line'], T_g=265.19,
+              q_funcs={'single_line': humidity.co2},
+              q_funcs_args={'single_line': ()}, delta_temp_change=0.1)
+flux_dict = {'lw_up': [], 'lw_down': [], 'sw_up': [], 'sw_down': []}
+data = {'t': [], 'T': [], 'flux': flux_dict}
+data = gas.save_data(data, 0)
+data = gas.evolve_to_equilibrium(data, flux_thresh=1e-3,
+                                 convective_adjust=conv_adjust, t_end=2.0,
+                                 save=True)
+anim = Animate(gas, data['T'], data['t'], flux_array=data['flux'],
+               nPlotFrames=70).anim
+anim.save(os.path.join(OUT, 'real_gas_equilibrium.gif'), writer='pillow',
+          fps=10)
+ax = gas.plot_olr()
+ax.figure.savefig(os.path.join(OUT, 'real_gas_olr.png'), dpi=90)
+ax2 = gas.plot_incoming_short_wave()
+ax2.figure.savefig(os.path.join(OUT, 'real_gas_sw.png'), dpi=90)
+print(f'real gas: nz={gas.nz}, T_g={gas.T_g:.2f} K, '
+      f'T surface={gas.T[-1, 0]:.1f} K (plots saved)')
