@@ -96,14 +96,26 @@ def lorentzian_profile(wave_number_array, wave_number_line_center, gamma):
 # --------------------------------------------------------------------------
 
 def get_absorption_coefficient(p, T, wavenumber_array, molecule_data,
-                               n_line_widths=1000, chunk=512):
+                               n_line_widths=1000, chunk=512, backend='auto'):
     """Absorption-coefficient grid [np x n_nu]: sum of all lines of a molecule.
 
     Each line contributes over a window of +-n_line_widths half-widths around
-    its centre (wavenumbers_near_line, hitran.py:182-199); lines are processed
-    in vmapped chunks with masked scatter-add instead of the reference's
-    per-line Python loop.
+    its centre (wavenumbers_near_line, hitran.py:182-199).  Two equivalent
+    backends replace the reference's per-line Python loop:
+
+      'native'  the C++/OpenMP accumulator (climatemodel_tpu.native)
+      'jax'     vmapped chunks with masked scatter-add
+      'auto'    native when the compiled library is available, else jax
     """
+    if backend == 'auto':
+        from .. import native
+        backend = 'native' if native.available() else 'jax'
+    if backend == 'native':
+        from .. import native
+        hck = 100.0 * h_planck * speed_of_light / k_boltzmann
+        return native.accumulate_lines(p, T, wavenumber_array, molecule_data,
+                                       n_line_widths, p_reference, T_reference,
+                                       hck)
     p = np.asarray(p, dtype=np.float64)
     T = np.asarray(T, dtype=np.float64)
     nu_grid = np.asarray(wavenumber_array, dtype=np.float64)
@@ -175,15 +187,24 @@ def get_absorption_coefficient(p, T, wavenumber_array, molecule_data,
 
 def load_molecule_data(molecule_name, data_folder=None):
     """Load a HITRAN .txt line list, keep the main isotopologue, convert
-    intensities (hitran.py:40-58)."""
+    intensities (hitran.py:40-58).  Uses the native C++ parser when available
+    (1e5-row whitespace tables are the data-loader hot path); falls back to
+    np.genfromtxt."""
     folder = data_folder or DEFAULT_LINE_DATA_DIR
     molecule_file = os.path.join(folder, molecule_name + '.txt')
-    data = np.genfromtxt(molecule_file, names=True)
-    keep = np.logical_and(data['molec_id'] ==
+    from .. import native
+    if native.available():
+        with open(molecule_file) as f:
+            names = f.readline().split()
+        body = native.parse_numeric_table(molecule_file, skip_lines=1)
+        cols = {name: body[:, k] for k, name in enumerate(names)}
+    else:
+        data = np.genfromtxt(molecule_file, names=True)
+        cols = {name: data[name] for name in data.dtype.names}
+    keep = np.logical_and(cols['molec_id'] ==
                           molecules[molecule_name]['hitran_id'],
-                          data['local_iso_id'] == 1)
-    data = data[keep]
-    out = {field: data[field] for field in required_fields[2:]}
+                          cols['local_iso_id'] == 1)
+    out = {field: cols[field][keep] for field in required_fields[2:]}
     out['sw'] = s_conversion(out['sw'], molecules[molecule_name]['M'])
     return out
 

@@ -1,0 +1,113 @@
+"""Auxiliary subsystems: checkpoint/resume, animation, ensembles, the driver
+entry points, and the bench harness (tiny CPU configs)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from climatemodel_tpu.constants import p_surface_earth
+from climatemodel_tpu.models.grey import GreyGas
+from climatemodel_tpu.models.shallow_water import ShallowWater
+from climatemodel_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+def test_checkpoint_roundtrip_grey(tmp_path):
+    w = GreyGas(nz=25, ny=2, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    w.take_time_step(0.0)
+    w.take_time_step(float(w.state.t))
+    path = tmp_path / 'grey_state'
+    save_pytree(path, w.state)
+    w2 = GreyGas(nz=25, ny=2, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    restored = load_pytree(path, w2.state)
+    np.testing.assert_array_equal(np.asarray(restored.T), w.T)
+    assert float(restored.t) == float(w.state.t)
+    # resume: feeding the restored state back continues identically
+    w2._state = restored
+    t3a, _ = w.take_time_step(float(w.state.t))
+    t3b, _ = w2.take_time_step(float(w2.state.t))
+    assert t3a == pytest.approx(t3b)
+    np.testing.assert_allclose(w.T, w2.T, rtol=1e-12)
+
+
+def test_checkpoint_roundtrip_shallow_water(tmp_path):
+    kw = dict(nx=20, ny=14, dx=1e5, dy=1e5, dt=60.0, f_0=1e-4, beta=0.0,
+              initial_info={'type': 'height_gaussian', 'min_h_surface': 9750.0,
+                            'max_h_surface': 9850.0, 'x0': 0.0, 'y0': 0.0,
+                            'x_std': 3e5, 'y_std': 3e5, 'add_noise': False})
+    w = ShallowWater(**kw)
+    w.run(nt=10, snapshots=False)
+    save_pytree(tmp_path / 'sw', w.state)
+    w2 = ShallowWater(**kw)
+    w2._state = load_pytree(tmp_path / 'sw', w2.state)
+    w.run(nt=5, snapshots=False)
+    w2.run(nt=5, snapshots=False)
+    np.testing.assert_allclose(w2.h, w.h, rtol=1e-12)
+
+
+def test_animation_builds_frames():
+    import matplotlib
+    matplotlib.use('Agg')
+    from climatemodel_tpu.diagnostics.animation import Animate
+    w = GreyGas(nz=25, ny=1, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    data = w.evolve_to_equilibrium(flux_thresh=5e-2, save=True)
+    *_, T_eqb, _, _, ok = w.equilibrium_sol()
+    anim = Animate(w, data['T'], data['t'], T_eqb, ok, nPlotFrames=5)
+    anim._frame_1d(0)
+    anim._frame_1d(len(anim.t_plot) - 1)
+    # 2-D layout
+    w2 = GreyGas(nz=20, ny=6, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    data2 = w2.evolve_to_equilibrium(flux_thresh=5e-2, save=True)
+    anim2 = Animate(w2, data2['T'], data2['t'], nPlotFrames=4)
+    anim2._frame_2d(0)
+
+
+def test_grey_ensemble_members_independent():
+    """Each vmapped member converges to its own stellar constant's equilibrium,
+    identical to running that member alone."""
+    from climatemodel_tpu.models import ensemble
+    w = GreyGas(nz=30, ny=1, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    F_vals = np.array([900.0, 1367.0])
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(w, F_vals)
+    out_states, info = ensemble.grey_evolve_ensemble(
+        states, forcings, p_int, p_c, jnp.asarray(1e-3, w.dtype),
+        max_steps=20_000)
+    assert bool(info.equilibrium.all())
+    # solo run of member 1 must match the batched member 1
+    w1 = GreyGas(nz=30, ny=1, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
+                 F_stellar_constant=1367.0)
+    w1.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    np.testing.assert_allclose(np.asarray(out_states.T[1]), w1.T, atol=1e-8)
+    # member 0 (dimmer star) is colder
+    assert np.asarray(out_states.T[0]).mean() < np.asarray(out_states.T[1]).mean()
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.h)
+    assert bool(jnp.isfinite(out.h).all())
+    assert float(out.t) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_bench_smoke_cpu():
+    """Tiny-config smoke of every bench path (numbers meaningless on CPU)."""
+    import bench
+    r = bench.bench_grey(n_ensemble=4, nz=20, max_steps=50)
+    assert r['model_days_per_sec'] > 0
+    r = bench.bench_sw(nx=34, ny=18, nt=5, solver='richtmyer', el_nino=False)
+    assert r['cell_updates_per_sec'] > 0
+    r = bench.bench_ebm(ny=4, nz=20)
+    assert r['model_days_per_sec'] > 0

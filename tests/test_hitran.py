@@ -122,3 +122,41 @@ def test_shipped_tables_exist_or_generate(tmp_path):
     t2 = hitran.load_table('gray', str(tmp_path))
     assert t1['absorption_coef'].shape == (1, 1, 41)
     assert t2['absorption_coef'].shape == (1, 1, 501)
+
+
+def test_native_backend_matches_jax_and_reference(tmp_path):
+    """C++ accumulator and parser: identical results to the jax backend and
+    np.genfromtxt (skipped when no compiler toolchain is present)."""
+    from climatemodel_tpu import native
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.default_rng(9)
+    L = 80
+    lines = {'nu': np.sort(rng.uniform(300, 900, L)),
+             'sw': 10.0 ** rng.uniform(-2, 2, L),
+             'gamma_air': rng.uniform(0.02, 0.12, L),
+             'n_air': rng.uniform(0.4, 0.9, L)}
+    p = np.logspace(np.log10(101320), np.log10(1000), 40)
+    T = np.full(40, 290.0)
+    nu = np.arange(250.0, 1000.0, 10.0)
+    g_nat = hitran.get_absorption_coefficient(p, T, nu, lines,
+                                              backend='native')
+    g_jax = hitran.get_absorption_coefficient(p, T, nu, lines, backend='jax')
+    np.testing.assert_allclose(g_nat, g_jax, rtol=1e-12)
+    # parser vs genfromtxt on a synthetic HITRAN-style line file
+    path = tmp_path / 'CO2.txt'
+    with open(path, 'w') as f:
+        f.write('molec_id local_iso_id nu sw elower gamma_air n_air\n')
+        for i in range(500):
+            iso = 1 if i % 3 else 2
+            f.write(f'2 {iso} {600 + i * 0.1:.4f} {1e-20 * (i + 1):.6e} '
+                    f'10.0 0.07 0.65\n')
+    body = native.parse_numeric_table(str(path))
+    ref = np.genfromtxt(path, names=True)
+    assert body.shape == (500, 7)
+    for k, name in enumerate(ref.dtype.names):
+        np.testing.assert_allclose(body[:, k], ref[name])
+    # full load_molecule_data path (native parser + isotopologue filter)
+    data = hitran.load_molecule_data('CO2', data_folder=str(tmp_path))
+    assert (np.asarray(data['nu']).size
+            == (np.arange(500) % 3 != 0).sum())
