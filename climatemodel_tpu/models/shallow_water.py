@@ -673,6 +673,100 @@ class ShallowWater:
 
     # ------------- El Nino diagnostics -------------
 
+    def plot_animate(self, t_array, h_array, u_array, v_array, nPlotFrames=50,
+                     fract_frames_at_start=0.0):
+        """Height + vorticity animation with velocity quiver
+        (shallow_water.py:580-725): surface height on a diverging colormap
+        about the median initial height, vorticity about zero, axes normalised
+        by the deformation radius."""
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+        from ..ops.stencils import centered_diff_x, centered_diff_y
+
+        fig, axs = plt.subplots(2, 1, sharex=True,
+                                figsize=(12 + int(max(self.nx / 250 - 1, 0)),
+                                         6 + int(max(self.ny / 50 - 1, 0))))
+        cax1 = make_axes_locatable(axs[0]).append_axes('right', '5%', '5%')
+        cax2 = make_axes_locatable(axs[1]).append_axes('right', '5%', '5%')
+        interval = int(min(6, self.ny / 5, self.nx / 5))
+
+        t_plot = np.asarray(t_array)
+        h_plot = np.asarray(h_array)
+        u_plot = np.asarray(u_array)
+        v_plot = np.asarray(v_array)
+        if t_plot.size > nPlotFrames:
+            start_end = int(fract_frames_at_start * nPlotFrames)
+            use_start = np.arange(0, start_end)
+            use_end = np.unique(np.linspace(start_end, t_plot.size - 1,
+                                            int((1 - fract_frames_at_start)
+                                                * nPlotFrames),
+                                            dtype=int))[1:]
+            use = np.concatenate((use_start, use_end))
+            t_plot, h_plot = t_plot[use], h_plot[use]
+            u_plot, v_plot = u_plot[use], v_plot[use]
+
+        # axes normalised by the deformation radius (shallow_water.py:627-634)
+        c = np.sqrt(self.g * np.median(h_plot[0]))
+        if self.f_0 == 0 and self.beta == 0:
+            L_def = c * 3600
+        elif self.f_0 != 0:
+            L_def = c / self.f_0
+        else:
+            L_def = np.sqrt(c / self.beta)
+        x = self.X[1:-1, 0] / L_def
+        y = self.Y[0, 1:-1] / L_def
+        h_base = self.h_base[1:-1, 1:-1]
+        h_surf = h_plot[:, 1:-1, 1:-1] + h_base
+        med = np.median(self.h_surface)
+        dmax = np.abs(h_surf - med).max()
+        h_lims = (med - dmax, med + dmax)
+        vort = np.stack([np.asarray(centered_diff_x(jnp.asarray(v_plot[i]),
+                                                    self.dx))
+                         - np.asarray(centered_diff_y(jnp.asarray(u_plot[i]),
+                                                      self.dy))
+                         for i in range(t_plot.size)])
+        v_lims = (-np.abs(vort).max(), np.abs(vort).max())
+        min_space = min(self.dx / L_def, self.dy / L_def)
+        vel_max = np.sqrt((u_plot ** 2 + v_plot ** 2).max())
+        scale = min_space * interval / max(vel_max, 1e-30)
+
+        def animate(i):
+            cax1.cla()
+            cax2.cla()
+            axs[0].clear()
+            axs[1].clear()
+            im = axs[0].imshow(h_surf[i].T, extent=[x.min(), x.max(),
+                                                    y.min(), y.max()],
+                               cmap='bwr', origin='lower')
+            fig.colorbar(im, cax=cax1).set_label('height (m)')
+            if self.orography_info['type'] != 'flat':
+                axs[0].contour(x, y, h_base.T, colors='g', alpha=0.25)
+            u_i = u_plot[i][1:-1, 1:-1]
+            v_i = v_plot[i][1:-1, 1:-1]
+            axs[0].quiver(x[2::interval], y[2::interval],
+                          (u_i[2::interval, 2::interval] * scale).T,
+                          (v_i[2::interval, 2::interval] * scale).T,
+                          scale_units='xy', scale=1, minshaft=2, pivot='mid')
+            im2 = axs[1].imshow(vort[i].T, extent=[x.min(), x.max(),
+                                                   y.min(), y.max()],
+                                cmap='bwr', origin='lower')
+            fig.colorbar(im2, cax=cax2).set_label('vorticity (s$^{-1}$)')
+            im.set_clim(h_lims)
+            im2.set_clim(v_lims)
+            for ax in axs:
+                ax.axis((x.min(), x.max(), y.min(), y.max()))
+            t_days, t_hours = divmod(t_plot[i] / 3600.0, 24)
+            axs[0].text(0.5, 1.01,
+                        f'{t_days:.0f} Days and {t_hours:.1f} Hours',
+                        horizontalalignment='center',
+                        verticalalignment='bottom',
+                        transform=axs[0].transAxes)
+
+        self._animate_frame = animate    # exposed for tests
+        return FuncAnimation(fig, animate, frames=t_plot.size, interval=100,
+                             blit=False, repeat_delay=200)
+
     def el_nino_seasonal_wind(self, t):
         w = self.initial_info['wind']
         t_year = 365 * 24 * 60 ** 2

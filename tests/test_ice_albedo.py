@@ -63,3 +63,22 @@ def test_tau_sweep_mutates_grid():
     # after the sweep the grid reflects the final (largest) tau value
     assert exp.grey_world.tau_interface[0, 0] == pytest.approx(4.0, rel=1e-6)
     assert not np.allclose(tau0, 0)
+
+
+def test_hysteresis_loop():
+    """The headline ice-albedo physics (Ice-Albedo Feedback notebook /
+    radiation_script.py:152-166): sweeping the stellar constant
+    warm -> cold -> warm, the warming branch holds MORE ice than the cooling
+    branch at the same forcing (bistability from the albedo feedback)."""
+    exp = GreyAlbedoFeedback(4.0, np.arange(600.0, 2250.0, 150.0), nz=25,
+                             ny=8, tau_lw_func='scale_height',
+                             tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    _, ice_lat, _ = exp.run(0.1, delta_net_flux_thresh=1e-3)
+    vals = exp.changing_param_values
+    n_cool = vals.argmin() + 1
+    cool = dict(zip(vals[:n_cool], ice_lat[:n_cool]))
+    warm = dict(zip(vals[n_cool - 1:], ice_lat[n_cool - 1:]))
+    shared = [v for v in cool if v in warm]
+    # warming branch never has less ice, and strictly more somewhere
+    assert all(warm[v] <= cool[v] for v in shared)
+    assert any(warm[v] < cool[v] for v in shared)

@@ -169,3 +169,81 @@ def test_tiny_dt_aborts():
         u=world._state.u + 1e5, t=world._state.t + 1.0)
     with pytest.raises(ValueError, match='time step very small'):
         world.time_step(1.0)
+
+
+def test_el_nino_five_day_run_matches_reference():
+    """The exact shallow_script.py El Nino configuration (150x75, forced
+    Bjerknes wind, sponge walls) marched 5 simulated days: the fused scan run
+    must match the reference's per-step Python loop."""
+    from climatemodel_tpu.constants import Omega, R_earth
+    h_mean, g_use = 100.0, 0.05
+    c = np.sqrt(g_use * h_mean)
+    beta = 2 * Omega / R_earth
+    L_def = np.sqrt(c / beta)
+    dx = L_def / 5
+    nx = int(round(30 * L_def / dx))
+    ny = int(round(15 * L_def / dx))
+    dt = 0.01 * dx / c
+    r = 1 / (10 * 30 * 24 * 60 ** 2)
+    bc = {'x': 'walls', 'y': 'walls',
+          'y_walls_damp': {'dist_thresh': (ny / 2) * dx - 6 * dx,
+                           'r': r * 100}}
+    mk = dict(nx=nx, ny=ny, dx=dx, dy=dx, dt=dt, f_0=0.0, beta=beta,
+              boundary_type=bc, r=r, g=g_use,
+              initial_info={'type': 'el_nino', 'max_h_surface': 110.0,
+                            'min_h_surface': 90.0, 'y_std': L_def,
+                            'add_noise': False, 'wind': {'type': 'forced'}})
+    ref = _make_ref(**{k: (dict(v, wind=dict(v['wind']))
+                           if isinstance(v, dict) and 'wind' in v else
+                           (dict(v) if isinstance(v, dict) else v))
+                       for k, v in mk.items()})
+    mine = ShallowWater(**mk)
+    nt = int(np.fix(5 * 24 * 60 ** 2 / dt) + 1)
+    t = 0.0
+    for _ in range(nt):
+        t, _ = ref.time_step(t, save_every=1e12)
+    mine.run(nt=nt, snapshots=False)
+    assert float(mine.state.t) == pytest.approx(t, rel=1e-9)
+    np.testing.assert_allclose(mine.h, ref.h, rtol=2e-7, atol=2e-7)
+    np.testing.assert_allclose(mine.u, ref.u, atol=1e-9)
+    # physical signature: the east-west thermocline seesaw is evolving
+    he, hw = mine.get_average_east_west_boundary_thickness(
+        mine.h, mine.initial_info['wind']['x_average_width'],
+        mine.initial_info['wind']['y_average_width'])
+    assert hw > he            # west stays deeper early in the event
+
+
+def test_equatorial_kelvin_wave_speed():
+    """Kelvin wave config (shallow_script.py:83-91): an equatorial bump
+    propagates east at c = sqrt(g h)."""
+    kw = dict(nx=120, ny=60, dx=100e3, dy=100e3, dt=60.0, f_0=0.0, beta=5e-10,
+              boundary_type={'x': 'walls', 'y': 'walls'},
+              initial_info={'type': 'height_gaussian',
+                            'min_h_surface': 9750.0,
+                            'max_h_surface': 10750.0, 'x0': -2000e3, 'y0': 0.0,
+                            'x_std': 800e3, 'y_std': 800e3,
+                            'add_noise': False})
+    world = ShallowWater(**kw)
+    c = np.sqrt(world.g * world.h_mean)
+    x0 = -2000e3
+    target_t = 1500e3 / c                       # travel ~15 cells east
+    nt = int(target_t / world.dt_0)
+    world.run(nt=nt, snapshots=False)
+    eq = world.ny // 2
+    dh = world.h[:, eq] - np.median(world.h[:, eq])
+    # the dominant equatorial crest has moved east at c
+    x_peak = world.X[np.argmax(dh), 0]
+    expected = x0 + c * float(world.state.t)
+    assert abs(x_peak - expected) < 3 * world.dx
+    assert x_peak > x0 + 10 * world.dx     # it really propagated eastward
+
+
+def test_plot_animate_builds_frames():
+    import matplotlib
+    matplotlib.use('Agg')
+    world = ShallowWater(**GRAV_WAVE)
+    data = world.run(nt=10, save_every=60.0)
+    anim = world.plot_animate(data['t'], data['h'], data['u'], data['v'],
+                              nPlotFrames=4)
+    world._animate_frame(0)
+    world._animate_frame(2)
