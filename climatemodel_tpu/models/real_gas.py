@@ -65,6 +65,77 @@ class BandArrays:
     dp_int: jnp.ndarray     # [nz-1] interface pressure differences
 
 
+@struct.dataclass
+class TransmissionCache:
+    """tau-dependent factors of the flux equations, constant during a march
+    (the optical depth only changes with composition, not temperature): the
+    per-band attenuation vectors, and the flux-integral weight products
+    W x dTr folded into matmul-ready operators."""
+    att_up: jnp.ndarray       # [B, nz]
+    att_down: jnp.ndarray     # [B, nz]
+    M_up: jnp.ndarray         # [L, nz, nz-1]  interior-up operator
+    M_down: jnp.ndarray       # [L, nz, nz-1]  interior-down operator (j rows)
+    lo_up: jnp.ndarray        # [L, nz]  lower-interface term coefficients
+    sf_up: jnp.ndarray        # [L, nz]  surface term coefficients
+    toa_down: jnp.ndarray     # [L, nz]  TOA term coefficients
+    hi_down: jnp.ndarray      # [L, nz]  upper-interface term coefficients
+
+
+def precompute_transmission(tau_interface, ba: BandArrays) -> TransmissionCache:
+    """Fold everything tau-dependent out of the per-step flux computation."""
+    nz = tau_interface.shape[0]
+    att_up = tr.band_attenuation(tau_interface, ba.idx, ba.w, ba.delta,
+                                 ref_level=nz - 1)
+    att_down = tr.band_attenuation(tau_interface, ba.idx, ba.w, ba.delta,
+                                   ref_level=0)
+    Tr = tr.band_transmission_matrices(tau_interface, ba.lw_idx, ba.lw_w,
+                                       ba.lw_delta)
+    dTr_up = jnp.diff(Tr, axis=2) / ba.dp_int[None, None, :]
+    dTr_dn = jnp.diff(Tr, axis=1) / ba.dp_int[None, :, None]
+
+    diag_up = jnp.diagonal(dTr_up, axis1=1, axis2=2)
+    diag_up = jnp.concatenate([diag_up, jnp.zeros_like(diag_up[:, :1])], 1)
+    lo_up = ba.W_up[None, :, 0] * diag_up
+    sf_up = ba.W_up[None, :, nz] * dTr_up[:, :, nz - 2]
+    M_up = ba.W_up[None, :, 1:nz] * dTr_up
+
+    diag_dn = jnp.diagonal(dTr_dn, axis1=1, axis2=2, offset=1)
+    diag_dn = jnp.concatenate([jnp.zeros_like(diag_dn[:, :1]), diag_dn], 1)
+    toa_down = ba.W_down[None, :, 0] * dTr_dn[:, 0, :]
+    hi_down = ba.W_down[None, :, nz] * diag_dn
+    # M_down[b, j, m] = W_down[j, 1+m] * dTr_dn[b, m, j]
+    M_down = jnp.swapaxes(dTr_dn, 1, 2) * ba.W_down[None, :, 1:nz]
+    return TransmissionCache(att_up=att_up, att_down=att_down, M_up=M_up,
+                             M_down=M_down, lo_up=lo_up, sf_up=sf_up,
+                             toa_down=toa_down, hi_down=hi_down)
+
+
+def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
+                           F_star_factor):
+    """Per-step flux evaluation with the tau-dependent factors precomputed:
+    only the Planck factors depend on T, so the long-wave integrals reduce to
+    one batched matmul per direction (MXU work) plus rank-1 corrections."""
+    up0 = jnp.pi * B_wavenumber(ba.centre, T_g)
+    up = up0[:, None] * cache.att_up
+    down = F_star_factor[:, None] * cache.att_down
+
+    T_interface = ba.S @ T
+    T_interface = T_interface.at[-1].set(T_g)
+    B_c = jnp.pi * B_wavenumber(ba.lw_centre[:, None], T[None, :])
+    B_int = jnp.pi * B_wavenumber(ba.lw_centre[:, None], T_interface[None, :])
+    B_g = jnp.pi * B_wavenumber(ba.lw_centre, T_g)
+
+    integral_up = -(cache.lo_up * B_int
+                    + jnp.einsum('bim,bm->bi', cache.M_up, B_c)
+                    + cache.sf_up * B_g[:, None])
+    integral_down = (cache.toa_down * B_int[:, :1]
+                     + jnp.einsum('bim,bm->bi', cache.M_down, B_c)
+                     + cache.hi_down * B_int)
+    up = up.at[ba.lw_list].add(integral_up)
+    down = down.at[ba.lw_list].add(integral_down)
+    return up.T, down.T
+
+
 def real_gas_fluxes(T, T_g, tau_interface, ba: BandArrays, F_star_factor):
     """Up/down band fluxes at interfaces [nz, n_bands] (real_gas.py:629-669).
 
@@ -130,9 +201,15 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
                      conv_thresh=1e-5, conv_t_multiplier=5.0,
                      net_flux_thresh=1e-7, net_flux_percentile=95,
                      max_steps=500_000):
+    # tau (composition) is fixed during the march: hoist the transmission
+    # matrices and integral-weight products out of the loop; each step is then
+    # a couple of small batched matmuls over the Planck factors.
+    cache = precompute_transmission(tau_interface, ba)
+
     def net_fn(T):
-        return _net_flux(T[:, 0], T_g, tau_interface, ba, F_star_factor,
-                         delta)[:, None]
+        up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
+                                          F_star_factor)
+        return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
         convective_adjust=convective_adjust, t_end=t_end,
@@ -240,6 +317,7 @@ class RealGas:
             self.n_nu_bands, self.T_g, self.star['T'], self.nu_lw,
             self._nu_overlap, self.nu_sw)
         self._packed = tr.PackedBands(self.nu_bands, self.nu)
+        self._drop_device_cache()
 
     def _absorption_lookup(self, p, T, wavenumber, name):
         return tr.crop_lookup(p, T, wavenumber, self._tables[name])
@@ -250,6 +328,7 @@ class RealGas:
         self.tau_interface = tr.optical_depth(
             self.p_interface[:, 0], T_interface, self.nu, self.molecule_names,
             self.q_funcs, self.q_funcs_args, self._absorption_lookup, g)
+        self._drop_device_cache()
 
     def _build_weights(self):
         """Static flux-integral weights + the spline interpolation matrix."""
@@ -270,9 +349,15 @@ class RealGas:
 
     @property
     def band_arrays(self) -> BandArrays:
+        """Device-resident packed bands; cached (re-uploading the packed
+        index/weight arrays every call dominates wall time on a tunneled
+        accelerator).  Invalidated by _build_wavenumber_machinery/_refresh_tau
+        via _drop_device_cache."""
+        if getattr(self, '_band_arrays_cache', None) is not None:
+            return self._band_arrays_cache
         d = self.dtype
         pk = self._packed
-        return BandArrays(
+        self._band_arrays_cache = BandArrays(
             idx=jnp.asarray(pk.idx), w=jnp.asarray(pk.w, d),
             delta=jnp.asarray(pk.delta, d), centre=jnp.asarray(pk.centre, d),
             lw_idx=jnp.asarray(pk.lw_idx), lw_w=jnp.asarray(pk.lw_w, d),
@@ -282,14 +367,30 @@ class RealGas:
             W_up=jnp.asarray(self._W_up, d), W_down=jnp.asarray(self._W_down, d),
             S=jnp.asarray(self._S, d),
             dp_int=jnp.asarray(np.diff(self.p_interface[:, 0]), d))
+        return self._band_arrays_cache
+
+    def _drop_device_cache(self):
+        self._band_arrays_cache = None
+        self._F_star_cache = None
+        self._tau_device = None
 
     @property
     def _F_star_factor(self):
-        return jnp.asarray(
+        if getattr(self, '_F_star_cache', None) is not None:
+            return self._F_star_cache
+        self._F_star_cache = jnp.asarray(
             np.pi * np.asarray(B_wavenumber(self._packed.centre,
                                             self.star['T']))
             * self.star['R'] ** 2 / self.star['star_planet_dist'] ** 2
             * (1 - self.albedo) / 4, self.dtype)
+        return self._F_star_cache
+
+    @property
+    def tau_device(self):
+        if getattr(self, '_tau_device', None) is not None:
+            return self._tau_device
+        self._tau_device = jnp.asarray(self.tau_interface, self.dtype)
+        return self._tau_device
 
     def get_p_grid(self, nz, min_absorb_coef_use=10e-6,
                    min_log_p_spacing_factor=5000, max_log_p_spacing_factor=50,
@@ -382,7 +483,7 @@ class RealGas:
         up, down = real_gas_fluxes(
             jnp.asarray(self.T[:, 0], self.dtype),
             jnp.asarray(self.T_g, self.dtype),
-            jnp.asarray(self.tau_interface, self.dtype), self.band_arrays,
+            self.tau_device, self.band_arrays,
             self._F_star_factor)
         up, down = np.asarray(up), np.asarray(down)
         if include_olr_breakdown:
@@ -407,7 +508,7 @@ class RealGas:
         self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
         net = _net_flux(jnp.asarray(self.T[:, 0], self.dtype),
                         jnp.asarray(self.T_g, self.dtype),
-                        jnp.asarray(self.tau_interface, self.dtype),
+                        self.tau_device,
                         self.band_arrays, self._F_star_factor,
                         jnp.asarray(self.nu_bands['delta'], self.dtype))
         self._state, delta = column.update_temp(
@@ -459,7 +560,7 @@ class RealGas:
             return data_dict
         self._state, info = _real_gas_evolve(
             self._state, jnp.asarray(self.T_g, self.dtype),
-            jnp.asarray(self.tau_interface, self.dtype), self.band_arrays,
+            self.tau_device, self.band_arrays,
             self._F_star_factor, jnp.asarray(self.nu_bands['delta'], self.dtype),
             jnp.asarray(self.p_interface, self.dtype),
             jnp.asarray(self.p[:, 0], self.dtype),
