@@ -263,3 +263,217 @@ class ShardedShallowWater:
                                 v=v_full.astype(d), t=t, dt=dt,
                                 ok=st.ok & ok)
         return wld._state
+
+
+# --------------------------------------------------------------------------
+# 2-D (x, y) domain decomposition
+# --------------------------------------------------------------------------
+
+def _pad_axis(f, mesh_axis, boundary, array_axis, wall_value=None):
+    """Reconstruct one array axis's ghost layer via ring halo exchange over a
+    mesh axis, applying the physical boundary rule at the global edges."""
+    n = lax.axis_size(mesh_axis)
+    i = lax.axis_index(mesh_axis)
+    fwd, bwd = _ring_perms(n)
+    if array_axis == 0:
+        lo_edge, hi_edge = f[:1], f[-1:]
+    else:
+        lo_edge, hi_edge = f[:, :1], f[:, -1:]
+    from_lo = lax.ppermute(hi_edge, mesh_axis, fwd)    # lower neighbour's top
+    from_hi = lax.ppermute(lo_edge, mesh_axis, bwd)    # upper neighbour's bottom
+    if boundary == 'periodic':
+        lo, hi = from_lo, from_hi
+    elif boundary == 'walls':
+        own_lo = lo_edge if wall_value is None else jnp.full_like(lo_edge,
+                                                                  wall_value)
+        own_hi = hi_edge if wall_value is None else jnp.full_like(hi_edge,
+                                                                  wall_value)
+        lo = jnp.where(i == 0, own_lo, from_lo)
+        hi = jnp.where(i == n - 1, own_hi, from_hi)
+    else:
+        raise ValueError(f'unknown boundary {boundary!r}')
+    return jnp.concatenate([lo, f, hi], axis=array_axis)
+
+
+def make_sharded_step_2d(ax_x='x', ax_y='y', solver='richtmyer', linear=False,
+                         bx='periodic', by='walls', wind_type=None,
+                         target_courant=0.1):
+    """Per-shard step for a 2-D spatial decomposition: shards hold interior
+    blocks [nxi/Px, nyi/Py]; both ghost layers are rebuilt every step from the
+    halos (corners from the neighbours' own ghost rows — never read by any
+    scheme stencil)."""
+    axes = (ax_x, ax_y)
+
+    def pad2(f, wall_u_x=False, wall_v_y=False):
+        f = _pad_axis(f, ax_y, by, 1,
+                      wall_value=0.0 if (wall_v_y and by == 'walls') else None)
+        f = _pad_axis(f, ax_x, bx, 0,
+                      wall_value=0.0 if (wall_u_x and bx == 'walls') else None)
+        return f
+
+    def step(h, u, v, t, dt0, dt_prev, f_cor_pad, h_base_pad, r_int, g, h_mean,
+             dx, dy, wind_gamma, wind_tau0, wind_fluct, east_w, west_w):
+        max_u = jnp.max(u ** 2 + v ** 2)
+        for ax in axes:
+            max_u = lax.pmax(max_u, ax)
+        dt_cfl = jnp.minimum(dt0, target_courant * jnp.minimum(dx, dy)
+                             / jnp.sqrt(max_u))
+        dt = jnp.where(t > 0, dt_cfl, dt_prev)
+        ok = dt >= 10.0
+
+        hp = pad2(h)
+        up = pad2(u, wall_u_x=True)
+        vp = pad2(v, wall_v_y=True)
+        U = sw.get_conservative_form(hp, up, vp, linear)
+        flux_x = sw.make_flux_x(g, h_mean, linear)
+        flux_y = sw.make_flux_y(g, h_mean, linear)
+        source = sw.make_source(g, f_cor_pad, h_base_pad, dx, dy, linear)
+        if solver == 'lax_wendroff':
+            U = stencils.lax_wendroff(U, flux_x, flux_y, source, dt, dx, dy,
+                                      [0], hp.shape[0], hp.shape[1],
+                                      sw.make_jacobian_x(g),
+                                      sw.make_jacobian_y(g))
+        else:
+            U = stencils.SCHEMES[solver](U, flux_x, flux_y, source, dt, dx, dy,
+                                         [0])
+        h_new, u_new, v_new = sw.get_physical_values(U[:, 1:-1, 1:-1], linear)
+        u_new = u_new - r_int * dt * u
+        v_new = v_new - r_int * dt * v
+        if wind_type not in (None, 'unforced'):
+            if wind_type == 'seasonal':
+                t_year = 365 * 24 * 60 ** 2
+                wind = wind_tau0 + wind_fluct * jnp.sin(t * 2 * jnp.pi / t_year)
+            else:
+                def gsum(x):
+                    s = jnp.sum(x)
+                    for ax in axes:
+                        s = lax.psum(s, ax)
+                    return s
+                h_east = gsum(h_new * east_w) / gsum(east_w)
+                h_west = gsum(h_new * west_w) / gsum(west_w)
+                forced = wind_gamma * (h_east - h_west)
+                if wind_type == 'seasonal_forced':
+                    t_year = 365 * 24 * 60 ** 2
+                    wind = forced + wind_fluct * jnp.sin(t * 2 * jnp.pi
+                                                         / t_year)
+                else:
+                    wind = forced
+            u_new = u_new + wind * dt
+        h_new = jnp.where(ok, h_new, h)
+        u_new = jnp.where(ok, u_new, u)
+        v_new = jnp.where(ok, v_new, v)
+        return h_new, u_new, v_new, t + dt, dt, ok
+
+    return step
+
+
+class ShardedShallowWater2D:
+    """Full 2-D (x, y) domain decomposition of a ShallowWater model over a
+    mesh with axes (ax_x, ax_y); matches the single-device model exactly."""
+
+    def __init__(self, world: sw.ShallowWater, mesh: Mesh, ax_x='x', ax_y='y'):
+        self.world = world
+        self.mesh = mesh
+        self.ax_x, self.ax_y = ax_x, ax_y
+        px, py = mesh.shape[ax_x], mesh.shape[ax_y]
+        nxi, nyi = world.nx - 2, world.ny - 2
+        if nxi % px or nyi % py:
+            raise ValueError(f'interior {nxi}x{nyi} not divisible by '
+                             f'{px}x{py} shards')
+        self.lx, self.ly = nxi // px, nyi // py
+        d = world.dtype
+
+        def pad_geometry(full):
+            blocks = [[full[i * self.lx: i * self.lx + self.lx + 2,
+                            j * self.ly: j * self.ly + self.ly + 2]
+                       for j in range(py)] for i in range(px)]
+            return np.asarray(blocks)         # [px, py, lx+2, ly+2]
+        self.f_cor_pad = jnp.asarray(pad_geometry(world.f_coriolis), d)
+        self.h_base_pad = jnp.asarray(pad_geometry(world.h_base), d)
+        self.r_int = jnp.asarray(world.r[1:-1, 1:-1], d)
+
+        if world.wind_type is not None:
+            w = world.initial_info['wind']
+            east_m, west_m = world._boundary_masks(w['x_average_width'],
+                                                   w['y_average_width'])
+            self.east_w = jnp.asarray(self._fold_mask_2d(east_m), d)
+            self.west_w = jnp.asarray(self._fold_mask_2d(west_m), d)
+            self.wind_gamma = jnp.asarray(w['gamma'], d)
+            self.wind_tau0 = jnp.asarray(w['initial_tau_over_h'], d)
+            self.wind_fluct = jnp.asarray(w['seasonal_fluct'], d)
+        else:
+            z = jnp.zeros((nxi, nyi), d)
+            self.east_w = self.west_w = z
+            self.wind_gamma = self.wind_tau0 = self.wind_fluct = \
+                jnp.asarray(0.0, d)
+
+    def _fold_mask_2d(self, mask):
+        """Ghost-grid mask [nx, ny] -> interior weights [nx-2, ny-2]: every
+        ghost h value is a copy of an interior cell, so its mask weight
+        accumulates onto the source cell (exact ghost-inclusive averages)."""
+        nx, ny = self.world.nx, self.world.ny
+        bx = self.world.boundary_type['x']
+        by = self.world.boundary_type['y']
+        # fold x ghost columns first
+        w1 = mask[1:-1].astype(np.float64).copy()          # [nxi, ny]
+        w1[(nx - 3) if bx == 'periodic' else 0] += mask[0]
+        w1[0 if bx == 'periodic' else (nx - 3)] += mask[-1]
+        # then y ghost rows
+        w2 = w1[:, 1:-1].copy()                            # [nxi, nyi]
+        w2[:, (ny - 3) if by == 'periodic' else 0] += w1[:, 0]
+        w2[:, 0 if by == 'periodic' else (ny - 3)] += w1[:, -1]
+        return w2
+
+    def run(self, nt, target_courant=0.1):
+        wld = self.world
+        d = wld.dtype
+        ax_x, ax_y = self.ax_x, self.ax_y
+        shard2 = P(ax_x, ax_y)
+        geom = P(ax_x, ax_y, None, None)
+        rep = P()
+        spec_in = (shard2, shard2, shard2, rep, rep, rep, geom, geom, shard2,
+                   rep, rep, rep, rep, rep, rep, rep, shard2, shard2)
+        body = make_sharded_step_2d(ax_x, ax_y, solver=wld.numerical_solver,
+                                    linear=wld.linear,
+                                    bx=wld.boundary_type['x'],
+                                    by=wld.boundary_type['y'],
+                                    wind_type=wld.wind_type,
+                                    target_courant=target_courant)
+
+        @functools.partial(shard_map, mesh=self.mesh, in_specs=spec_in,
+                           out_specs=(shard2, shard2, shard2, rep, rep, rep))
+        def simulate(h, u, v, t, dt0, dt_prev, f_cor_pad, h_base_pad, r_int,
+                     g, h_mean, dx, dy, gamma, tau0, fluct, east_w, west_w):
+            f_cor_pad = f_cor_pad[0, 0]
+            h_base_pad = h_base_pad[0, 0]
+
+            def scan_body(carry, _):
+                h, u, v, t, dt, ok0 = carry
+                h, u, v, t, dt, ok = body(h, u, v, t, dt0, dt, f_cor_pad,
+                                          h_base_pad, r_int, g, h_mean, dx, dy,
+                                          gamma, tau0, fluct, east_w, west_w)
+                return (h, u, v, t, dt, ok0 & ok), None
+
+            init = (h, u, v, t, dt_prev, jnp.asarray(True))
+            (h, u, v, t, dt, ok), _ = lax.scan(scan_body, init, None, length=nt)
+            return h, u, v, t, dt, ok
+
+        st = wld.state
+        h, u, v, t, dt, ok = simulate(
+            st.h[1:-1, 1:-1], st.u[1:-1, 1:-1], st.v[1:-1, 1:-1], st.t,
+            jnp.asarray(wld.dt_0, d), st.dt, self.f_cor_pad, self.h_base_pad,
+            self.r_int, jnp.asarray(wld.g, d), jnp.asarray(wld.h_mean, d),
+            jnp.asarray(wld.dx, d), jnp.asarray(wld.dy, d), self.wind_gamma,
+            self.wind_tau0, self.wind_fluct, self.east_w, self.west_w)
+        if not bool(ok):
+            raise ValueError('time step very small')
+        pad = ((1, 1), (1, 1))
+        h_full = jnp.asarray(np.pad(np.asarray(h), pad, mode='edge'))
+        u_full = jnp.asarray(np.pad(np.asarray(u), pad, mode='edge'))
+        v_full = jnp.asarray(np.pad(np.asarray(v), pad, mode='edge'))
+        h_full, u_full, v_full = sw.apply_boundary_conditions(
+            h_full, u_full, v_full, wld.boundary_type['x'],
+            wld.boundary_type['y'])
+        wld._state = st.replace(h=h_full.astype(d), u=u_full.astype(d),
+                                v=v_full.astype(d), t=t, dt=dt, ok=st.ok & ok)
+        return wld._state

@@ -132,3 +132,32 @@ def test_sw_equilibrium_matches_reference_sympy():
                                rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(my_calc.down_lw_flux(t2),
                                ref_calc.down_lw_flux(t2), rtol=1e-8, atol=1e-8)
+
+
+def test_changing_tau_scenario_parity():
+    """The time-varying forcing path (radiation_script.py:54-116): tau args
+    mutate every step with changing_tau=True (grid fixed, taus recomputed,
+    all levels forced to update).  50 steps must track the reference."""
+    ref_grey, ref_od = rh.import_reference_grey()
+    lw0 = [100000.0, 4.0]
+    sw0 = [300000.0, 2000.0, 0.5]
+    ref = ref_grey.GreyGas(nz=40, ny=1, tau_lw_func=ref_od.exponential,
+                           tau_lw_func_args=list(lw0),
+                           tau_sw_func=ref_od.peak_in_atmosphere,
+                           tau_sw_func_args=list(sw0))
+    mine = GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                   tau_lw_func_args=list(lw0),
+                   tau_sw_func='peak_in_atmosphere',
+                   tau_sw_func_args=list(sw0))
+    np.testing.assert_array_equal(ref.p_interface, mine.p_interface)
+    t_r = t_m = 0.0
+    for i in range(50):
+        tau_surface = 4.0 + 0.01 * i          # ramp the lw optical depth
+        ref.tau_lw_func_args = (lw0[0], tau_surface)
+        mine.tau_lw_func_args = (lw0[0], tau_surface)
+        t_r, d_r = ref.take_time_step(t_r, changing_tau=True)
+        t_m, d_m = mine.take_time_step(t_m, changing_tau=True)
+        assert d_r == pytest.approx(d_m, rel=1e-6) or (d_r == 1e6 and d_m == 1e6)
+    np.testing.assert_allclose(mine.T, ref.T, atol=1e-6)
+    np.testing.assert_allclose(mine.tau_interface, ref.tau_interface,
+                               atol=1e-10)

@@ -72,3 +72,47 @@ def test_mesh_helpers():
     world = ShallowWater(**dict(GRAV, nx=25))
     with pytest.raises(ValueError):
         ShardedShallowWater(world, _mesh(8))
+
+
+@pytest.mark.parametrize('bx,by', [('periodic', 'walls'),
+                                   ('periodic', 'periodic'),
+                                   ('walls', 'walls')])
+def test_sharded_2d_matches_single_device(bx, by):
+    from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
+    kw = dict(GRAV, nx=34, ny=26, boundary_type={'x': bx, 'y': by})
+    ref = ShallowWater(**kw)
+    ref.run(nt=30, snapshots=False)
+    world = ShallowWater(**kw)
+    mesh = make_mesh(('x', 'y'), shape=(4, 2), devices=jax.devices()[:8])
+    ShardedShallowWater2D(world, mesh).run(nt=30)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+    np.testing.assert_allclose(world.v, ref.v, atol=1e-12)
+
+
+def test_sharded_2d_el_nino_matches_single_device():
+    from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
+    from climatemodel_tpu.constants import Omega, R_earth
+    h_mean, g_use = 100.0, 0.05
+    c = np.sqrt(g_use * h_mean)
+    beta = 2 * Omega / R_earth
+    L_def = np.sqrt(c / beta)
+    dx = L_def / 5
+    nx, ny = 34, 18                 # interior 32x16 -> 4x2 shards of 8x8
+    dt = 0.05 * dx / c
+    r = 1 / (10 * 30 * 24 * 60 ** 2)
+    kw = dict(nx=nx, ny=ny, dx=dx, dy=dx, dt=dt, f_0=0.0, beta=beta,
+              boundary_type={'x': 'walls', 'y': 'walls'}, r=r, g=g_use,
+              initial_info={'type': 'el_nino', 'max_h_surface': 110.0,
+                            'min_h_surface': 90.0, 'y_std': L_def,
+                            'add_noise': False, 'wind': {'type': 'forced'}})
+    ref = ShallowWater(**{k: (dict(v, wind=dict(v['wind']))
+                              if isinstance(v, dict) and 'wind' in v
+                              else (dict(v) if isinstance(v, dict) else v))
+                          for k, v in kw.items()})
+    ref.run(nt=25, snapshots=False)
+    world = ShallowWater(**kw)
+    mesh = make_mesh(('x', 'y'), shape=(4, 2), devices=jax.devices()[:8])
+    ShardedShallowWater2D(world, mesh).run(nt=25)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
