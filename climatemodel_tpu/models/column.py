@@ -227,9 +227,18 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
     return new_state, delta_net_flux
 
 
-def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3):
-    """max|F_net| < thresh or delta F < thresh (base.py:248-264)."""
-    return (jnp.max(jnp.abs(net_flux)) < flux_thresh) | (delta_net_flux < flux_thresh)
+def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3,
+                      use_delta_exit=True):
+    """max|F_net| < thresh or (optionally) delta F < thresh (base.py:248-264).
+
+    ``use_delta_exit=False`` disables the reference's flux-stopped-changing
+    shortcut and demands true flux balance — useful for per-column ensemble
+    marches where the percentile criterion over a single small column exits
+    prematurely."""
+    eqb = jnp.max(jnp.abs(net_flux)) < flux_thresh
+    if use_delta_exit:
+        eqb = eqb | (delta_net_flux < flux_thresh)
+    return eqb
 
 
 # --------------------------------------------------------------------------
@@ -250,7 +259,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
                           net_flux_thresh: float = 1e-7,
                           net_flux_percentile: float = 95,
-                          max_steps: int = 500_000, p_descending: bool = True):
+                          max_steps: int = 500_000, p_descending: bool = True,
+                          use_delta_exit: bool = True):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
@@ -275,7 +285,7 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                                 p_descending=p_descending)
         # second iteration tightens the threshold (base.py:315-317)
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
-        eqb = check_equilibrium(st.net_flux, delta, ft)
+        eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
         failed = jnp.min(st.T) < 0
         timed_out = (st.t - t0) / SECONDS_PER_YEAR > t_end
         return st, ft, delta, i + 1, eqb | timed_out, failed

@@ -40,12 +40,14 @@ def grey_ensemble_forcing(world: GreyGas, F_stellar_values) -> GreyForcing:
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
-                                             'net_flux_percentile'))
+                                             'net_flux_percentile',
+                                             'use_delta_exit'))
 def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
                          p_interface, p_centre_col, flux_thresh,
                          convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
                          conv_t_multiplier=5.0, net_flux_thresh=1e-7,
-                         net_flux_percentile=95, max_steps=500_000):
+                         net_flux_percentile=95, max_steps=500_000,
+                         use_delta_exit=True):
     """vmapped march-to-equilibrium over a leading ensemble axis of
     (states, forcings); the pressure grid is shared."""
     def one(state, forcing):
@@ -55,8 +57,44 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
             convective_adjust=convective_adjust, t_end=t_end,
             conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
             net_flux_thresh=net_flux_thresh,
-            net_flux_percentile=net_flux_percentile, max_steps=max_steps)
+            net_flux_percentile=net_flux_percentile, max_steps=max_steps,
+            use_delta_exit=use_delta_exit)
     return jax.vmap(one)(states, forcings)
+
+
+def grey_latitude_ensemble(world: GreyGas):
+    """Split a ny>1 latitude-grid world into ny independent single-column
+    members, each with its own adaptive-dt controller.
+
+    The reference shares one dt across all latitudes (base.py:197-246), which
+    drags convergence to the slowest column; latitudes never couple in this
+    model, so marching them as a vmapped ensemble is a pure improvement
+    (framework extra — opt-in, not used by the parity paths).
+
+    :return: (states, forcings, p_interface [nz,1], p_centre [nz-1]) with a
+        leading ny axis; reassemble with ``states.T[:, :, 0].T``.
+    """
+    ny = world.ny
+    base = world.forcing
+    def col(x):
+        return jnp.moveaxis(x, -1, 0)[:, ..., None]      # [ny, ..., 1]
+    forcings = GreyForcing(
+        dtau=col(base.dtau), tau_sw_interface=col(base.tau_sw_interface),
+        albedo_mod=base.albedo_mod[:, None],
+        solar_latitude_factor=base.solar_latitude_factor[:, None],
+        F_stellar=jnp.broadcast_to(base.F_stellar, (ny,)))
+    st = world.state
+    states = ColumnState(
+        T=jnp.moveaxis(st.T, 1, 0)[:, :, None],
+        net_flux=jnp.moveaxis(st.net_flux, 1, 0)[:, :, None],
+        t=jnp.broadcast_to(st.t, (ny,)),
+        tsi=jax.tree_util.tree_map(
+            lambda x: (jnp.broadcast_to(x, (ny,) + x.shape)
+                       if x.ndim == 0 else
+                       x.reshape(world.nz - 1, ny).T), st.tsi))
+    p_int = jnp.asarray(world.p_interface[:, :1], world.dtype)
+    p_c = jnp.asarray(world.p[:, 0], world.dtype)
+    return states, forcings, p_int, p_c
 
 
 def grey_ensemble(world: GreyGas, F_stellar_values):
