@@ -142,6 +142,39 @@ def bench_real_gas():
             'nz': gas.nz, 'steps': steps, 'wall_s': wall}
 
 
+def bench_rce_conv():
+    """Grey radiative-convective equilibrium (BASELINE config #2): the
+    thermosphere world with convective adjustment inside the compiled march."""
+    from climatemodel_tpu.constants import p_surface_earth
+    from climatemodel_tpu.models.grey import GreyGas
+
+    def build():
+        # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
+        # compiles/runs long enough to trip the axon execution watchdog)
+        return GreyGas(nz=150, ny=1,
+                       tau_lw_func='scale_height_and_peak_in_atmosphere',
+                       tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                       tau_sw_func='scale_height_and_peak_in_atmosphere',
+                       tau_sw_func_args=[p_surface_earth, 0.12, 100, 20,
+                                         0.002])
+    # conv_method='isotonic': the TPU-parallel adjustment (same physics);
+    # the faithful group-blend iteration is for CPU parity work — its
+    # sequential group loop is latency-bound on accelerators.  chunk_steps
+    # bounds single XLA executions (long runs trip the axon watchdog).
+    kw = dict(flux_thresh=1e-1, save=False, convective_adjust=True,
+              conv_method='isotonic', chunk_steps=400)
+    world = build()
+    world.evolve_to_equilibrium(**kw)         # compile + run
+    world2 = build()
+    t0 = time.perf_counter()
+    world2.evolve_to_equilibrium(**kw)
+    wall = time.perf_counter() - t0
+    days = float(world2.state.t) / 86400.0
+    return {'model_days_per_sec': days / wall, 'nz': world2.nz,
+            'conv_method': 'isotonic',
+            'steps': int(world2._equilibrium_info.steps), 'wall_s': wall}
+
+
 def bench_ebm(ny=64, nz=40):
     from climatemodel_tpu.constants import p_surface_earth
     from climatemodel_tpu.models.grey import GreyGas, _grey_evolve
@@ -167,6 +200,7 @@ def main():
     extra['grey_rce'] = bench_grey()
     extra['shallow_water'] = bench_sw()
     extra['real_gas'] = bench_real_gas()
+    extra['rce_convective'] = bench_rce_conv()
     extra['ebm_ice_albedo'] = bench_ebm()
 
     grey_days = extra['grey_rce']['model_days_per_sec']

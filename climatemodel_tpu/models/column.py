@@ -18,8 +18,7 @@ match the NumPy reference to the <0.1 K target.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -172,7 +171,7 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
                 changing_tau: bool = False, convective_adjust: bool = False,
                 net_flux_thresh: float = 1e-7, net_flux_percentile: float = 95,
                 conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
-                p_descending: bool = True):
+                p_descending: bool = True, conv_method: str = 'reference'):
     """One finite-volume temperature update with adaptive dt.
 
     :param net_flux: [nz, ny] freshly computed net flux.
@@ -217,7 +216,8 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
 
     if convective_adjust:
         T_adj = convective_adjustment(p_centre_col, T_new,
-                                      descending=p_descending)
+                                      descending=p_descending,
+                                      method=conv_method)
         conv_mask = allowed & (jnp.abs(T_adj.reshape(-1) - T_new.reshape(-1))
                                > conv_thresh)             # base.py:190-192
         tsi = tsi.replace(convective=conv_mask)
@@ -260,12 +260,19 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           net_flux_thresh: float = 1e-7,
                           net_flux_percentile: float = 95,
                           max_steps: int = 500_000, p_descending: bool = True,
-                          use_delta_exit: bool = True):
+                          use_delta_exit: bool = True,
+                          conv_method: str = 'reference', i0=0,
+                          final_reset: bool = True):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
         radiation operator.
     :param t_end: hard cap in simulated years (base.py:322).
+    :param i0: starting iteration count — pass the previous chunk's step count
+        when chunking a march across multiple device calls (single very long
+        XLA executions can trip accelerator watchdogs).
+    :param final_reset: reset the time-step bookkeeping on exit
+        (base.py:329-334); pass False for intermediate chunks.
     :return: (final ColumnState, EquilibriumInfo)
     """
     dtype = state.T.dtype
@@ -282,7 +289,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                                 net_flux_percentile=net_flux_percentile,
                                 conv_thresh=conv_thresh,
                                 conv_t_multiplier=conv_t_multiplier,
-                                p_descending=p_descending)
+                                p_descending=p_descending,
+                                conv_method=conv_method)
         # second iteration tightens the threshold (base.py:315-317)
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
         eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
@@ -294,9 +302,10 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         _st, _ft, _delta, i, eqb, failed = carry
         return ~eqb & ~failed & (i < max_steps)
 
-    init = (state, ft0, jnp.asarray(1e6, dtype), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(False))
+    init = (state, ft0, jnp.asarray(1e6, dtype),
+            jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False))
     st, ft, delta, i, eqb, failed = lax.while_loop(cond, body, init)
-    st = st.replace(tsi=reset_time_step_info(st.tsi))
+    if final_reset:
+        st = st.replace(tsi=reset_time_step_info(st.tsi))
     return st, EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
                                failed=failed, equilibrium=eqb)

@@ -21,7 +21,6 @@ from __future__ import annotations
 import functools
 import math
 import warnings
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -81,17 +80,20 @@ def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_c
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
-                                             'net_flux_percentile'))
+                                             'net_flux_percentile',
+                                             'conv_method', 'final_reset'))
 def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
                  p_centre_col, flux_thresh, convective_adjust=False, t_end=4.0,
                  conv_thresh=1e-5, conv_t_multiplier=5.0, net_flux_thresh=1e-7,
-                 net_flux_percentile=95, max_steps=500_000):
+                 net_flux_percentile=95, max_steps=500_000,
+                 conv_method='reference', i0=0, final_reset=True):
     net_fn = lambda T: grey_net_flux(T, forcing)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
         convective_adjust=convective_adjust, t_end=t_end, conv_thresh=conv_thresh,
         conv_t_multiplier=conv_t_multiplier, net_flux_thresh=net_flux_thresh,
-        net_flux_percentile=net_flux_percentile, max_steps=max_steps)
+        net_flux_percentile=net_flux_percentile, max_steps=max_steps,
+        conv_method=conv_method, i0=i0, final_reset=final_reset)
 
 
 class GreyGas:
@@ -271,12 +273,21 @@ class GreyGas:
     def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
                               T_initial=None, convective_adjust=False, save=True,
                               t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
-                              verbose=False) -> dict:
+                              verbose=False, conv_method='reference',
+                              chunk_steps=None) -> dict:
         """March to equilibrium (base.py:266-335).
 
         save=False runs a single fused lax.while_loop on device (fast path);
         save=True steps through a compiled step from the host, appending
         snapshots for animation like the reference data_dict.
+
+        :param conv_method: 'reference' (faithful group-blend, needed for
+            bit-level parity) or 'isotonic' (fully parallel weighted PAVA —
+            much faster on TPU, same physics).
+        :param chunk_steps: split the device march into chunks of this many
+            steps, returning to the host between chunks — use for long
+            convective marches on accelerators whose runtimes kill
+            single executions running for minutes.
         """
         if T_initial is not None and float(self._state.t) == 0:
             self.T = T_initial
@@ -287,13 +298,32 @@ class GreyGas:
                 t=jnp.asarray(data_dict['t'][-1], self.dtype))
 
         if not save:
-            self._state, info = _grey_evolve(
-                self._state, self.forcing,
-                jnp.asarray(self.p_interface, self.dtype),
-                jnp.asarray(self.p[:, 0], self.dtype),
-                jnp.asarray(flux_thresh, self.dtype),
-                convective_adjust=convective_adjust, t_end=float(t_end),
-                conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier)
+            p_int = jnp.asarray(self.p_interface, self.dtype)
+            p_c = jnp.asarray(self.p[:, 0], self.dtype)
+            ft = jnp.asarray(flux_thresh, self.dtype)
+            if chunk_steps is None:
+                self._state, info = _grey_evolve(
+                    self._state, self.forcing, p_int, p_c, ft,
+                    convective_adjust=convective_adjust, t_end=float(t_end),
+                    conv_thresh=conv_thresh,
+                    conv_t_multiplier=conv_t_multiplier,
+                    conv_method=conv_method)
+            else:
+                i0 = 0
+                while True:
+                    self._state, info = _grey_evolve(
+                        self._state, self.forcing, p_int, p_c, ft,
+                        convective_adjust=convective_adjust,
+                        t_end=float(t_end), conv_thresh=conv_thresh,
+                        conv_t_multiplier=conv_t_multiplier,
+                        conv_method=conv_method, i0=i0,
+                        max_steps=i0 + int(chunk_steps), final_reset=False)
+                    i0 = int(info.steps)
+                    ft = info.flux_thresh        # keep the tightened threshold
+                    if bool(info.equilibrium) or bool(info.failed):
+                        break
+                self._state = self._state.replace(
+                    tsi=column.reset_time_step_info(self._state.tsi))
             self._equilibrium_info = jax.tree_util.tree_map(np.asarray, info)
             if bool(info.failed):
                 raise ValueError('Temperature is below zero')

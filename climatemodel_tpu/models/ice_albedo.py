@@ -14,7 +14,6 @@ dynamic pytree, so no retraces occur across the sweep).
 from __future__ import annotations
 
 import inspect
-from typing import Callable, Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ runs the same step body is wrapped in ``shard_map`` with halo exchange
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -34,8 +34,6 @@ Two implementations are provided, both jit/vmap-compatible:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

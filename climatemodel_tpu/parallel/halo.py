@@ -19,7 +19,6 @@ the unsharded model exactly.  Equality with the unsharded step is exact because
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
