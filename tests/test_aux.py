@@ -150,3 +150,46 @@ def test_find_Tg_balances_toa_flux():
     root = gas.find_Tg(flux_thresh=0.1, tol=0.5)
     assert 230 < root < 300
     assert abs(gas.net_flux[0]) < 2.0     # TOA balance within Newton tol
+
+
+def test_plot_eqb_builds_figure():
+    """GreyGas.plot_eqb draws the 3-panel tau/T/flux figure, with dotted
+    no-short-wave overlays when a sw absorber is present (grey.py:453-501)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from climatemodel_tpu.ops import optical_depth as od
+    alpha_sw = od.get_exponential_alpha(100000.0) / 3
+    w = GreyGas(nz=20, ny=1, tau_lw_func='exponential',
+                tau_lw_func_args=[100000.0, 4.0],
+                tau_sw_func='exponential',
+                tau_sw_func_args=[od.get_exponential_p_width(alpha_sw), 0.2])
+    fig, ax = w.plot_eqb(*w.equilibrium_sol()[:5])
+    assert len(ax) == 3
+    assert len(ax[1].lines) == 2          # sw solution + tau_sw=0 overlay
+    plt.close(fig)
+    w0 = GreyGas(nz=20, ny=1, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    fig0, ax0 = w0.plot_eqb(*w0.equilibrium_sol()[:5])
+    assert len(ax0[1].lines) == 1
+    plt.close(fig0)
+
+
+def test_plot_absorption_coefficient():
+    """hitran.plot_absorption_coefficient reads the nearest (p, T) slice
+    (hitran.py:360-387)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from climatemodel_tpu.spectral import hitran
+    REF_LUT = ('/root/reference/Model/radiation/real_gas_data/HitranData/'
+               'LookupTables')
+    nu, k = hitran.plot_absorption_coefficient(
+        'single_line', 101320.0, 296.0, do_plot=False, folder=REF_LUT)
+    table = hitran.load_table('single_line', REF_LUT)
+    np.testing.assert_array_equal(nu, table['nu'])
+    np.testing.assert_array_equal(k, table['absorption_coef'][0, 0])
+    fig, ax = hitran.plot_absorption_coefficient(
+        'single_line', 101320.0, 296.0, folder=REF_LUT)
+    assert ax.get_yscale() == 'log'
+    plt.close(fig)
