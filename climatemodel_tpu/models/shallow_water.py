@@ -240,9 +240,11 @@ def atmosphere_wind(params: SWParams, h_bc, t, wind_type):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
-                                             'wind_type', 'target_courant'))
+                                             'wind_type', 'target_courant',
+                                             'flat_orography'))
 def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
-            bx='periodic', by='walls', wind_type=None, target_courant=0.1):
+            bx='periodic', by='walls', wind_type=None, target_courant=0.1,
+            flat_orography=False):
     """One shallow-water time step (shallow_water.py:339-373)."""
     h, u, v = state.h, state.u, state.v
     # CFL control after the first step (shallow_water.py:321-337)
@@ -257,10 +259,14 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
         # fused Pallas TPU kernel: one HBM pass per step (ops/pallas_stencils)
         from ..ops.pallas_stencils import richtmyer_step_interior
         interpret = jax.default_backend() != 'tpu'
+        # flat orography: skip the two gradient field reads entirely (the
+        # jnp path's "- g * 0" source terms are exact no-ops)
+        dhb_dx = None if flat_orography else \
+            stencils.centered_diff_x(params.h_base, params.dx)
+        dhb_dy = None if flat_orography else \
+            stencils.centered_diff_y(params.h_base, params.dy)
         hi, ui, vi = richtmyer_step_interior(
-            h, u, v, params.f_coriolis[1:-1, 1:-1],
-            stencils.centered_diff_x(params.h_base, params.dx),
-            stencils.centered_diff_y(params.h_base, params.dy),
+            h, u, v, params.f_coriolis[1:-1, 1:-1], dhb_dx, dhb_dy,
             dt, params.g, params.dx, params.dy, interpret=interpret)
         h_new = h.at[1:-1, 1:-1].set(hi)
         u_new = u.at[1:-1, 1:-1].set(ui)
@@ -306,30 +312,33 @@ def _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt, ok, bx, by,
 
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
-                                             'n_steps'))
+                                             'n_steps', 'flat_orography'))
 def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
                 linear=False, bx='periodic', by='walls', wind_type=None,
-                target_courant=0.1):
+                target_courant=0.1, flat_orography=False):
     """n_steps fused into one lax.scan: the whole run is a single XLA program."""
     def body(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
-                       wind_type=wind_type, target_courant=target_courant), None
+                       wind_type=wind_type, target_courant=target_courant,
+                       flat_orography=flat_orography), None
     state, _ = lax.scan(body, state, None, length=n_steps)
     return state
 
 
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
-                                             'n_snaps', 'steps_per_snap'))
+                                             'n_snaps', 'steps_per_snap',
+                                             'flat_orography'))
 def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
                           steps_per_snap, solver='richtmyer', linear=False,
                           bx='periodic', by='walls', wind_type=None,
-                          target_courant=0.1):
+                          target_courant=0.1, flat_orography=False):
     """Run n_snaps * steps_per_snap steps, stacking (t, h, u, v) snapshots every
     steps_per_snap steps — the scan-native replacement of data_dict appends."""
     def inner(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
-                       wind_type=wind_type, target_courant=target_courant), None
+                       wind_type=wind_type, target_courant=target_courant,
+                       flat_orography=flat_orography), None
 
     def outer(st, _):
         st, _ = lax.scan(inner, st, None, length=steps_per_snap)
@@ -602,7 +611,8 @@ class ShallowWater:
     def _step_kwargs(self, target_courant=0.1):
         return dict(solver=self.numerical_solver, linear=self.linear,
                     bx=self.boundary_type['x'], by=self.boundary_type['y'],
-                    wind_type=self.wind_type, target_courant=target_courant)
+                    wind_type=self.wind_type, target_courant=target_courant,
+                    flat_orography=self.orography_info['type'] == 'flat')
 
     def boundary_conditions(self, h, u, v):
         """Reference-parity helper (shallow_water.py:393-444)."""

@@ -11,11 +11,21 @@ computes entirely in VMEM, and writes the interior band of the updated
 physical fields.  Per step the only HBM traffic is ~3 reads + 3 writes of the
 field set.
 
+The band DMAs are double-buffered: while band i is being computed, band i+1's
+rows are already streaming into the other scratch slot, so HBM transfer
+overlaps with VPU compute instead of serialising with it (the out bands are
+pipelined by pallas_call itself via the blocked out_specs).
+
 Mosaic constrains HBM slices to the (8, 128) tile grid, so the row bands are
 8-aligned: the band height TX divides the interior rows and the DMA window is
 TX+8 rows starting at the 8-aligned offset i*TX (the 6 trailing rows beyond the
 halo are dead weight); inputs are padded by 6 rows once per call to keep the
 last window in bounds.  The y axis is never sliced in HBM.
+
+Flat-orography grids (h_base == const, e.g. every El Niño configuration) use a
+specialised kernel variant that skips the two orography-gradient field reads
+and their arithmetic — the jnp path's ``- g * 0`` terms are exact no-ops, so
+results are bit-identical.
 
 Semantics match stencils.richtmyer + include_source + get_physical_values
 (same operations, fused); boundary conditions, CFL, damping and wind remain in
@@ -31,24 +41,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(dt_ref, g_ref, sx_ref, sy_ref,                  # SMEM scalars
-            h_hbm, u_hbm, v_hbm,                            # ANY (manual DMA)
-            fcor_ref, dhbx_ref, dhby_ref,                   # VMEM interior bands
-            h_out, u_out, v_out,                            # VMEM out bands
-            hh, uu, vv, sem,                                # scratch
-            *, TX, NY):
+def _kernel_body(dt_ref, g_ref, sx_ref, sy_ref, h_hbm, u_hbm, v_hbm,
+                 fcor_ref, dhbx_ref, dhby_ref, h_out, u_out, v_out,
+                 hh, uu, vv, sem, *, TX, NY, NBANDS):
     i = pl.program_id(0)
-    # interior band i covers full-array rows 1+i*TX .. i*TX+TX; with one halo
-    # row each side the window is rows [i*TX, i*TX+TX+1]; the DMA loads the
-    # 8-aligned superset [i*TX, i*TX+TX+7].
-    row0 = pl.multiple_of(i * TX, 8)
-    copies = [pltpu.make_async_copy(src.at[pl.ds(row0, TX + 8), :], dst,
-                                    sem.at[k])
-              for k, (src, dst) in enumerate(((h_hbm, hh), (u_hbm, uu),
-                                              (v_hbm, vv)))]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
+
+    # interior band b covers full-array rows 1+b*TX .. b*TX+TX; with one halo
+    # row each side the window is rows [b*TX, b*TX+TX+1]; the DMA loads the
+    # 8-aligned superset [b*TX, b*TX+TX+7].
+    def band_copies(b, slot):
+        row0 = pl.multiple_of(b * TX, 8)
+        return [pltpu.make_async_copy(src.at[pl.ds(row0, TX + 8), :],
+                                      dst.at[slot], sem.at[slot, k])
+                for k, (src, dst) in enumerate(((h_hbm, hh), (u_hbm, uu),
+                                                (v_hbm, vv)))]
+
+    slot = i % 2
+
+    @pl.when(i == 0)
+    def _prefetch_first():
+        for cp in band_copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < NBANDS)
+    def _prefetch_next():
+        for cp in band_copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in band_copies(i, slot):
         cp.wait()
 
     dt = dt_ref[0, 0]
@@ -57,9 +77,9 @@ def _kernel(dt_ref, g_ref, sx_ref, sy_ref,                  # SMEM scalars
     sy = sy_ref[0, 0]
 
     # compute on the real (unpadded) window only
-    h = hh[: TX + 2, :NY]
-    u = uu[: TX + 2, :NY]
-    v = vv[: TX + 2, :NY]
+    h = hh[slot, : TX + 2, :NY]
+    u = uu[slot, : TX + 2, :NY]
+    v = vv[slot, : TX + 2, :NY]
     uh = h * u
     vh = h * v
     gh2 = 0.5 * g * h * h
@@ -108,8 +128,12 @@ def _kernel(dt_ref, g_ref, sx_ref, sy_ref,                  # SMEM scalars
     u_mid = uh[1:-1, 1:-1] * inv_mid
     v_mid = vh[1:-1, 1:-1] * inv_mid
     fcor = fcor_ref[:]
-    Q1 = h_mid * (fcor * v_mid - g * dhbx_ref[:])
-    Q2 = h_mid * (-fcor * u_mid - g * dhby_ref[:])
+    if dhbx_ref is None:
+        Q1 = h_mid * (fcor * v_mid)
+        Q2 = h_mid * (-fcor * u_mid)
+    else:
+        Q1 = h_mid * (fcor * v_mid - g * dhbx_ref[:])
+        Q2 = h_mid * (-fcor * u_mid - g * dhby_ref[:])
     uh_new = uh_new + Q1 * dt
     vh_new = vh_new + Q2 * dt
 
@@ -119,11 +143,27 @@ def _kernel(dt_ref, g_ref, sx_ref, sy_ref,                  # SMEM scalars
     v_out[:] = vh_new * inv_new
 
 
+def _kernel(dt_ref, g_ref, sx_ref, sy_ref, h_hbm, u_hbm, v_hbm,
+            fcor_ref, dhbx_ref, dhby_ref, h_out, u_out, v_out,
+            hh, uu, vv, sem, *, TX, NY, NBANDS):
+    _kernel_body(dt_ref, g_ref, sx_ref, sy_ref, h_hbm, u_hbm, v_hbm,
+                 fcor_ref, dhbx_ref, dhby_ref, h_out, u_out, v_out,
+                 hh, uu, vv, sem, TX=TX, NY=NY, NBANDS=NBANDS)
+
+
+def _kernel_flat(dt_ref, g_ref, sx_ref, sy_ref, h_hbm, u_hbm, v_hbm,
+                 fcor_ref, h_out, u_out, v_out, hh, uu, vv, sem,
+                 *, TX, NY, NBANDS):
+    _kernel_body(dt_ref, g_ref, sx_ref, sy_ref, h_hbm, u_hbm, v_hbm,
+                 fcor_ref, None, None, h_out, u_out, v_out,
+                 hh, uu, vv, sem, TX=TX, NY=NY, NBANDS=NBANDS)
+
+
 def _pick_band(n, ny_pad=1024, vmem_budget=9 * 2 ** 20):
     """Largest multiple-of-8 divisor of n whose working set fits the VMEM
-    budget (~15 band-sized f32 buffers live: 3 halo scratch, double-buffered
-    in/out tiles, temporaries).  Returns 0 if none."""
-    target = max(vmem_budget // (15 * 4 * ny_pad), 8)
+    budget (~18 band-sized f32 buffers live: 2x3 double-buffered halo scratch,
+    pipelined in/out tiles, temporaries).  Returns 0 if none."""
+    target = max(vmem_budget // (18 * 4 * ny_pad), 8)
     t = min(int(target), n)
     t -= t % 8
     while t >= 8 and n % t:
@@ -145,21 +185,25 @@ def richtmyer_step_interior(h, u, v, f_cor_int, dhb_dx, dhb_dy, dt, g, dx, dy,
     :param h, u, v: [nx, ny] full fields including ghost cells (old values,
         boundary conditions already applied).
     :param f_cor_int, dhb_dx, dhb_dy: [nx-2, ny-2] interior Coriolis field and
-        orography gradients (centered differences of h_base).
+        orography gradients (centered differences of h_base); pass ``None``
+        for both gradients on flat-orography grids to skip their HBM reads
+        (bit-identical to zero gradients).
     :return: (h, u, v) interior [nx-2, ny-2] updated physical fields (before
         damping / wind / boundary conditions).
     """
+    flat = dhb_dx is None
     nx, ny = h.shape
     nxi, nyi = nx - 2, ny - 2
-    TX = _pick_band(nxi, -(-ny // 128) * 128)
+    ny_pad = -(-ny // 128) * 128
+    TX = _pick_band(nxi, ny_pad)
     if TX == 0:
         raise ValueError(f'interior rows {nxi} have no multiple-of-8 divisor; '
                          'use the jnp richtmyer solver for this grid')
-    grid = (nxi // TX,)
+    nbands = nxi // TX
+    grid = (nbands,)
     dtype = h.dtype
     # pad 6 dead rows so the last 8-aligned DMA window stays in bounds, and
     # pad lanes to a 128 multiple (Mosaic DMA tiling constraint)
-    ny_pad = -(-ny // 128) * 128
     pad = ((0, 6), (0, ny_pad - ny))
     h_p = jnp.pad(h, pad)
     u_p = jnp.pad(u, pad)
@@ -170,21 +214,26 @@ def richtmyer_step_interior(h, u, v, f_cor_int, dhb_dx, dhb_dy, dt, g, dx, dy,
     band_spec = pl.BlockSpec((TX, nyi), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nxi, nyi), dtype)
-    kernel = functools.partial(_kernel, TX=TX, NY=ny)
+    kernel = functools.partial(_kernel_flat if flat else _kernel,
+                               TX=TX, NY=ny, NBANDS=nbands)
+    in_specs = [smem, smem, smem, smem, any_spec, any_spec, any_spec,
+                band_spec]
+    operands = [scalar(dt), scalar(g), scalar(dt / dx), scalar(dt / dy),
+                h_p, u_p, v_p, f_cor_int]
+    if not flat:
+        in_specs += [band_spec, band_spec]
+        operands += [dhb_dx, dhb_dy]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, smem,
-                  any_spec, any_spec, any_spec,
-                  band_spec, band_spec, band_spec],
+        in_specs=in_specs,
         out_specs=(band_spec, band_spec, band_spec),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=[
-            pltpu.VMEM((TX + 8, ny_pad), dtype),
-            pltpu.VMEM((TX + 8, ny_pad), dtype),
-            pltpu.VMEM((TX + 8, ny_pad), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, TX + 8, ny_pad), dtype),
+            pltpu.VMEM((2, TX + 8, ny_pad), dtype),
+            pltpu.VMEM((2, TX + 8, ny_pad), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(scalar(dt), scalar(g), scalar(dt / dx), scalar(dt / dy), h_p, u_p, v_p,
-      f_cor_int, dhb_dx, dhb_dy)
+    )(*operands)
