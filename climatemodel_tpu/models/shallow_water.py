@@ -198,18 +198,69 @@ def apply_boundary_conditions(h, u, v, bx='periodic', by='walls'):
     return h, u, v
 
 
+def apply_boundary_conditions_frame(h, u, v, bx, by, nx, ny):
+    """The same boundary conditions on padded-frame fields (interior at
+    (FRAME_ROW0, FRAME_LANE0), see ops/pallas_stencils.py): every index of
+    ``apply_boundary_conditions`` translated to frame coordinates.  Rewrites
+    all four ghost sides, so undefined ghost values coming out of the frame
+    kernel are always cured here before anything reads them."""
+    from ..ops.pallas_stencils import FRAME_LANE0 as L0, FRAME_ROW0 as R0
+    gt, gb = R0 - 1, R0 + nx - 2        # ghost rows (frame indices)
+    r0, rN = R0, R0 + nx - 3            # first / last interior rows
+    gl, gr = L0 - 1, L0 + ny - 2        # ghost cols
+    l0, lN = L0, L0 + ny - 3            # first / last interior cols
+    rows = slice(gt, gb + 1)            # ":" of the unpadded array
+    cols = slice(gl, gr + 1)
+    rows_i = slice(r0, rN + 1)          # "1:-1"
+    cols_i = slice(l0, lN + 1)
+    if bx == 'periodic':
+        def per_x(f):
+            f = f.at[gt, cols_i].set(f[rN, cols_i])
+            f = f.at[gt, gl].set(f[rN, l0])
+            f = f.at[gt, gr].set(f[rN, lN])
+            f = f.at[gb, cols_i].set(f[r0, cols_i])
+            f = f.at[gb, gl].set(f[r0, l0])
+            f = f.at[gb, gr].set(f[r0, lN])
+            return f
+        h, u, v = per_x(h), per_x(u), per_x(v)
+    elif bx == 'walls':
+        u = u.at[gt, cols].set(0.0).at[gb, cols].set(0.0)
+        h = h.at[gt, cols].set(h[r0, cols]).at[gb, cols].set(h[rN, cols])
+        v = v.at[gt, cols].set(v[r0, cols]).at[gb, cols].set(v[rN, cols])
+
+    if by == 'periodic':
+        def per_y(f):
+            f = f.at[rows_i, gl].set(f[rows_i, lN])
+            f = f.at[gt, gl].set(f[r0, lN])
+            f = f.at[gb, gl].set(f[rN, lN])
+            f = f.at[rows_i, gr].set(f[rows_i, l0])
+            f = f.at[gt, gr].set(f[r0, l0])
+            f = f.at[gb, gr].set(f[rN, gr])
+            return f
+        h, u, v = per_y(h), per_y(u), per_y(v)
+    elif by == 'walls':
+        v = v.at[rows, gl].set(0.0).at[rows, gr].set(0.0)
+        h = h.at[rows, gl].set(h[rows, l0]).at[rows, gr].set(h[rows, lN])
+        u = u.at[rows, gl].set(u[rows, l0]).at[rows, gr].set(u[rows, lN])
+    return h, u, v
+
+
 # --------------------------------------------------------------------------
 # El Nino wind closure (shallow_water.py:272-308, 727-766)
 # --------------------------------------------------------------------------
 
 def masked_mean(field, mask):
-    return jnp.sum(field * mask) / jnp.sum(mask)
+    # where (not multiply) so undefined values outside the mask — the pad
+    # regions of padded-frame fields — can never poison the sum
+    return jnp.sum(jnp.where(mask > 0, field, 0)) / jnp.sum(mask)
 
 
-def east_west_thickness(h, params: SWParams):
+def east_west_thickness(h, params: SWParams, east_mask=None, west_mask=None):
     """Mean thermocline depth near the east/west boundaries
-    (shallow_water.py:738-766)."""
-    return masked_mean(h, params.east_mask), masked_mean(h, params.west_mask)
+    (shallow_water.py:738-766); masks may be overridden (padded-frame path)."""
+    east_mask = params.east_mask if east_mask is None else east_mask
+    west_mask = params.west_mask if west_mask is None else west_mask
+    return masked_mean(h, east_mask), masked_mean(h, west_mask)
 
 
 def seasonal_wind(params: SWParams, t):
@@ -219,14 +270,15 @@ def seasonal_wind(params: SWParams, t):
         jnp.sin(t * 2 * jnp.pi / t_year)
 
 
-def atmosphere_wind(params: SWParams, h_bc, t, wind_type):
+def atmosphere_wind(params: SWParams, h_bc, t, wind_type, east_mask=None,
+                    west_mask=None):
     """tau/h_mean wind stress for the u equation (shallow_water.py:272-308).
     ``h_bc`` must already satisfy the boundary conditions."""
     if wind_type is None or wind_type == 'unforced':
         return jnp.asarray(0.0, h_bc.dtype)
     if wind_type == 'seasonal':
         return seasonal_wind(params, t)
-    h_east, h_west = east_west_thickness(h_bc, params)
+    h_east, h_west = east_west_thickness(h_bc, params, east_mask, west_mask)
     forced = params.wind_gamma * (h_east - h_west)
     if wind_type == 'seasonal_forced':
         return forced + seasonal_wind(params, t) - params.wind_initial_tau
@@ -310,6 +362,64 @@ def _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt, ok, bx, by,
     return state.replace(h=h_new, u=u_new, v=v_new, t=state.t + dt, dt=dt, ok=ok)
 
 
+def _use_frame_path(state, solver):
+    from ..ops.pallas_stencils import frame_supports
+    return solver == 'richtmyer_pallas' and frame_supports(*state.h.shape)
+
+
+def _frame_constants(state, params, flat_orography):
+    """Loop-invariant padded-frame inputs, hoisted out of the scan by XLA."""
+    from ..ops.pallas_stencils import pad_frame
+    dhb_dx = None if flat_orography else \
+        stencils.centered_diff_x(params.h_base, params.dx)
+    dhb_dy = None if flat_orography else \
+        stencils.centered_diff_y(params.h_base, params.dy)
+    return (pad_frame(params.r), pad_frame(params.east_mask),
+            pad_frame(params.west_mask), params.f_coriolis[1:-1, 1:-1],
+            dhb_dx, dhb_dy)
+
+
+def sw_step_frame(state: SWState, params: SWParams, extras, bx, by, wind_type,
+                  target_courant, nx, ny):
+    """sw_step on padded-frame state (richtmyer_pallas only): identical
+    arithmetic, zero per-step pad/relayout traffic.  Pad regions of the frame
+    hold undefined values between steps; every reduction below reads only the
+    interior+ghost window and ghost cells are rewritten by the frame BCs."""
+    from ..ops.pallas_stencils import richtmyer_step_frame, unpad_frame
+    r_f, east_f, west_f, fcor_int, dhb_dx, dhb_dy = extras
+    h, u, v = state.h, state.u, state.v
+    uw = unpad_frame(u, nx, ny)
+    vw = unpad_frame(v, nx, ny)
+    max_u = jnp.sqrt(jnp.max(uw ** 2 + vw ** 2))
+    dt_cfl = jnp.minimum(params.dt_0,
+                         target_courant * jnp.minimum(params.dx, params.dy)
+                         / max_u)
+    dt = jnp.where(state.t > 0, dt_cfl, state.dt)
+    ok = state.ok & (dt >= 10.0)
+
+    interpret = jax.default_backend() != 'tpu'
+    h_new, u_new, v_new = richtmyer_step_frame(
+        h, u, v, fcor_int, dhb_dx, dhb_dy, dt, params.g, params.dx, params.dy,
+        nx, ny, interpret=interpret)
+
+    # damping / wind / BCs / abort freeze (_finish_step in frame coordinates)
+    u_new = u_new - r_f * dt * u
+    v_new = v_new - r_f * dt * v
+    if wind_type is not None:
+        h_for_wind = apply_boundary_conditions_frame(h_new, u_new, v_new, bx,
+                                                     by, nx, ny)[0]
+        wind = atmosphere_wind(params, h_for_wind, state.t, wind_type,
+                               east_mask=east_f, west_mask=west_f)
+        u_new = u_new + wind * dt
+    h_new, u_new, v_new = apply_boundary_conditions_frame(h_new, u_new, v_new,
+                                                          bx, by, nx, ny)
+    h_new = jnp.where(ok, h_new, h)
+    u_new = jnp.where(ok, u_new, u)
+    v_new = jnp.where(ok, v_new, v)
+    return state.replace(h=h_new, u=u_new, v=v_new, t=state.t + dt, dt=dt,
+                         ok=ok)
+
+
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
                                              'n_steps', 'flat_orography'))
@@ -317,6 +427,21 @@ def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
                 linear=False, bx='periodic', by='walls', wind_type=None,
                 target_courant=0.1, flat_orography=False):
     """n_steps fused into one lax.scan: the whole run is a single XLA program."""
+    if _use_frame_path(state, solver):
+        from ..ops.pallas_stencils import pad_frame, unpad_frame
+        nx, ny = state.h.shape
+        extras = _frame_constants(state, params, flat_orography)
+        st = state.replace(h=pad_frame(state.h), u=pad_frame(state.u),
+                           v=pad_frame(state.v))
+
+        def fbody(st, _):
+            return sw_step_frame(st, params, extras, bx, by, wind_type,
+                                 target_courant, nx, ny), None
+        st, _ = lax.scan(fbody, st, None, length=n_steps)
+        return st.replace(h=unpad_frame(st.h, nx, ny),
+                          u=unpad_frame(st.u, nx, ny),
+                          v=unpad_frame(st.v, nx, ny))
+
     def body(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
                        wind_type=wind_type, target_courant=target_courant,
@@ -335,6 +460,28 @@ def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
                           target_courant=0.1, flat_orography=False):
     """Run n_snaps * steps_per_snap steps, stacking (t, h, u, v) snapshots every
     steps_per_snap steps — the scan-native replacement of data_dict appends."""
+    if _use_frame_path(state, solver):
+        from ..ops.pallas_stencils import pad_frame, unpad_frame
+        nx, ny = state.h.shape
+        extras = _frame_constants(state, params, flat_orography)
+        st0 = state.replace(h=pad_frame(state.h), u=pad_frame(state.u),
+                            v=pad_frame(state.v))
+
+        def finner(st, _):
+            return sw_step_frame(st, params, extras, bx, by, wind_type,
+                                 target_courant, nx, ny), None
+
+        def fouter(st, _):
+            st, _ = lax.scan(finner, st, None, length=steps_per_snap)
+            return st, (st.t, unpad_frame(st.h, nx, ny),
+                        unpad_frame(st.u, nx, ny), unpad_frame(st.v, nx, ny))
+
+        st, snaps = lax.scan(fouter, st0, None, length=n_snaps)
+        st = st.replace(h=unpad_frame(st.h, nx, ny),
+                        u=unpad_frame(st.u, nx, ny),
+                        v=unpad_frame(st.v, nx, ny))
+        return st, snaps
+
     def inner(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
                        wind_type=wind_type, target_courant=target_courant,

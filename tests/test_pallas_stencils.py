@@ -80,3 +80,54 @@ def test_band_picker_and_supports():
     with pytest.raises(ValueError):
         sw.ShallowWater(nx=34, ny=20, dx=1e5, dy=1e5, dt=60, f_0=1e-4, beta=0,
                         linear=True, numerical_solver='richtmyer_pallas')
+
+
+def test_frame_path_matches_step_loop():
+    """The padded-frame fast path (sw_simulate/sw_simulate_snapshots with
+    solver='richtmyer_pallas' on frame-eligible grids) is bit-identical to
+    stepping sw_step: same kernel arithmetic, only the memory layout differs."""
+    from climatemodel_tpu.ops.pallas_stencils import frame_supports
+    kw = dict(nx=34, ny=130, dx=100e3, dy=100e3, dt=60.0, f_0=1e-4, beta=1e-11,
+              r=1e-6, boundary_type={'x': 'walls', 'y': 'walls'},
+              initial_info={'type': 'height_gaussian', 'min_h_surface': 9750.0,
+                            'max_h_surface': 9850.0, 'x0': 0.0, 'y0': 0.0,
+                            'x_std': 3e5, 'y_std': 3e5, 'add_noise': False},
+              numerical_solver='richtmyer_pallas')
+    w = sw.ShallowWater(**kw)
+    assert frame_supports(w.nx, w.ny)
+    # loop of single steps (non-frame path)
+    sa = w.state
+    for _ in range(6):
+        sa = sw.sw_step(sa, w.params, **w._step_kwargs())
+    # fused frame path
+    sb = sw.sw_simulate(w.state, w.params, 6, **w._step_kwargs())
+    np.testing.assert_array_equal(np.asarray(sb.h), np.asarray(sa.h))
+    np.testing.assert_array_equal(np.asarray(sb.u), np.asarray(sa.u))
+    np.testing.assert_array_equal(np.asarray(sb.v), np.asarray(sa.v))
+    assert float(sb.t) == float(sa.t)
+    # snapshot variant returns the same trajectory
+    _, snaps = sw.sw_simulate_snapshots(w.state, w.params, 3, 2,
+                                        **w._step_kwargs())
+    np.testing.assert_array_equal(np.asarray(snaps[1][-1]), np.asarray(sa.h))
+
+
+def test_frame_path_el_nino_wind():
+    """Frame path with the El Nino forced-wind closure and orography both
+    active (exercises masks, damping, and the non-flat kernel variant)."""
+    kw = dict(nx=34, ny=130, dx=100e3, dy=100e3, dt=60.0, f_0=0.0, beta=1e-11,
+              r=1e-7, g=0.05,
+              orography_info={'type': 'mountain', 'max_h_base': 5.0,
+                              'x0': 0.0, 'y0': 0.0, 'x_std': 3e5,
+                              'y_std': 3e5},
+              boundary_type={'x': 'walls', 'y': 'walls'},
+              initial_info={'type': 'el_nino', 'max_h_surface': 110.0,
+                            'min_h_surface': 90.0, 'y_std': 4e5,
+                            'add_noise': False, 'wind': {'type': 'forced'}})
+    w = sw.ShallowWater(**kw, numerical_solver='richtmyer_pallas')
+    sa = w.state
+    for _ in range(4):
+        sa = sw.sw_step(sa, w.params, **w._step_kwargs())
+    sb = sw.sw_simulate(w.state, w.params, 4, **w._step_kwargs())
+    np.testing.assert_array_equal(np.asarray(sb.h), np.asarray(sa.h))
+    np.testing.assert_array_equal(np.asarray(sb.u), np.asarray(sa.u))
+    np.testing.assert_array_equal(np.asarray(sb.v), np.asarray(sa.v))
