@@ -18,6 +18,7 @@ match the NumPy reference to the <0.1 K target.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -112,8 +113,10 @@ def init_time_step_info(n_levels_flat: int, temp_change: float = 1.0,
         convective=jnp.zeros((n_levels_flat,), bool))
 
 
+@jax.jit
 def reset_time_step_info(tsi: TimeStepInfo) -> TimeStepInfo:
-    """Post-equilibrium reset (base.py:329-334)."""
+    """Post-equilibrium reset (base.py:329-334).  Jitted: eagerly dispatching
+    even these few trivial ops is latency-bound through the axon tunnel."""
     return tsi.replace(removed=jnp.zeros_like(tsi.removed),
                        n_same_1=jnp.zeros_like(tsi.n_same_1),
                        n_same_2=jnp.zeros_like(tsi.n_same_2),
@@ -227,6 +230,7 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
     return new_state, delta_net_flux
 
 
+@functools.partial(jax.jit, static_argnames=('use_delta_exit',))
 def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3,
                       use_delta_exit=True):
     """max|F_net| < thresh or (optionally) delta F < thresh (base.py:248-264).

@@ -63,6 +63,12 @@ def grey_net_flux(T, forcing: GreyForcing):
     return up_lw - down_lw + up_sw - down_sw
 
 
+# jitted alias for host-side (outside-the-march) flux refreshes: calling the
+# bare function eagerly dispatches the whole associative scan op-by-op, which
+# is latency-bound through the axon tunnel (~0.3 s per call)
+_grey_fluxes_jit = jax.jit(grey_fluxes)
+
+
 @functools.partial(jax.jit, static_argnames=('changing_tau', 'convective_adjust',
                                              'net_flux_percentile'))
 def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_col,
@@ -268,7 +274,8 @@ class GreyGas:
             convective_adjust=convective_adjust, net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
             conv_t_multiplier=conv_t_multiplier)
-        return float(self._state.t), float(delta)
+        t_np, delta_np = jax.device_get((self._state.t, delta))
+        return float(t_np), float(delta_np)
 
     def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
                               T_initial=None, convective_adjust=False, save=True,
@@ -301,6 +308,9 @@ class GreyGas:
             p_int = jnp.asarray(self.p_interface, self.dtype)
             p_c = jnp.asarray(self.p[:, 0], self.dtype)
             ft = jnp.asarray(flux_thresh, self.dtype)
+            # all device->host reads below are batched into single
+            # jax.device_get calls: each separate sync costs a full tunnel
+            # round trip (~25 ms) on axon
             if chunk_steps is None:
                 self._state, info = _grey_evolve(
                     self._state, self.forcing, p_int, p_c, ft,
@@ -318,20 +328,24 @@ class GreyGas:
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method, i0=i0,
                         max_steps=i0 + int(chunk_steps), final_reset=False)
-                    i0 = int(info.steps)
+                    steps_np, eqb_np, failed_np = jax.device_get(
+                        (info.steps, info.equilibrium, info.failed))
+                    i0 = int(steps_np)
                     ft = info.flux_thresh        # keep the tightened threshold
-                    if bool(info.equilibrium) or bool(info.failed):
+                    if bool(eqb_np) or bool(failed_np):
                         break
                 self._state = self._state.replace(
                     tsi=column.reset_time_step_info(self._state.tsi))
-            self._equilibrium_info = jax.tree_util.tree_map(np.asarray, info)
-            if bool(info.failed):
-                raise ValueError('Temperature is below zero')
-            # refresh flux views at the equilibrium temperature
+            # refresh flux views at the equilibrium temperature (async)
             self._fluxes = tuple(
-                jnp.asarray(a) for a in grey_fluxes(self._state.T, self.forcing))
-            data_dict['t'].append(float(self._state.t))
-            data_dict['T'].append(self.T.copy())
+                jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,
+                                                         self.forcing))
+            self._equilibrium_info, t_np, T_np = jax.device_get(
+                (info, self._state.t, self._state.T))
+            if bool(self._equilibrium_info.failed):
+                raise ValueError('Temperature is below zero')
+            data_dict['t'].append(float(t_np))
+            data_dict['T'].append(np.asarray(T_np))
             return data_dict
 
         t = data_dict['t'][-1]

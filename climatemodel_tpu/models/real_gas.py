@@ -192,6 +192,13 @@ def _net_flux(T, T_g, tau_interface, ba: BandArrays, F_star_factor, delta):
     return jnp.sum((up - down) * delta[None, :], axis=1)
 
 
+# jitted aliases for host-side diagnostics: eager dispatch of the band einsums
+# is latency-bound through the axon tunnel
+_real_gas_fluxes_jit = jax.jit(real_gas_fluxes)
+_band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
+    'ref_level',))(tr.band_attenuation)
+
+
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
                                              'net_flux_percentile'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
@@ -479,7 +486,7 @@ class RealGas:
 
     def get_flux(self, include_olr_breakdown=False):
         """Up/down band fluxes [nz, n_nu_bands] (real_gas.py:629-669)."""
-        up, down = real_gas_fluxes(
+        up, down = _real_gas_fluxes_jit(
             jnp.asarray(self.T[:, 0], self.dtype),
             jnp.asarray(self.T_g, self.dtype),
             self.tau_device, self.band_arrays,
@@ -487,7 +494,7 @@ class RealGas:
         up, down = np.asarray(up), np.asarray(down)
         if include_olr_breakdown:
             # surface vs atmosphere contributions to OLR (real_gas.py:643-665)
-            att = np.asarray(tr.band_attenuation(
+            att = np.asarray(_band_attenuation_jit(
                 jnp.asarray(self.tau_interface, self.dtype),
                 self.band_arrays.idx, self.band_arrays.w,
                 self.band_arrays.delta, ref_level=self.nz - 1))
@@ -518,8 +525,10 @@ class RealGas:
             net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
             conv_t_multiplier=conv_t_multiplier, p_descending=False)
-        self.net_flux = np.asarray(self._state.net_flux[:, 0])
-        return float(self._state.t), float(delta)
+        nf_np, t_np, delta_np = jax.device_get(
+            (self._state.net_flux, self._state.t, delta))
+        self.net_flux = np.asarray(nf_np)[:, 0]
+        return float(t_np), float(delta_np)
 
     def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
                               T_initial=None, convective_adjust=False,
@@ -566,13 +575,16 @@ class RealGas:
             jnp.asarray(flux_thresh, self.dtype),
             convective_adjust=convective_adjust, t_end=float(t_end),
             conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier)
-        self._equilibrium_info = jax.tree_util.tree_map(np.asarray, info)
-        if bool(info.failed):
+        # batch every device->host read into one transfer (each separate sync
+        # is a full tunnel round trip on axon)
+        self._equilibrium_info, nf_np, t_np, T_np = jax.device_get(
+            (info, self._state.net_flux, self._state.t, self._state.T))
+        if bool(self._equilibrium_info.failed):
             raise ValueError('Temperature is below zero')
         self.up_flux, self.down_flux = self.get_flux()
-        self.net_flux = np.asarray(self._state.net_flux[:, 0])
-        data_dict['t'].append(float(self._state.t))
-        data_dict['T'].append(self.T.copy())
+        self.net_flux = np.asarray(nf_np)[:, 0]
+        data_dict['t'].append(float(t_np))
+        data_dict['T'].append(np.asarray(T_np))
         return data_dict
 
     # ------------- T_g solvers (real_gas.py:505-562) -------------

@@ -821,7 +821,7 @@ class ShallowWater:
             **self._step_kwargs(target_courant))
         if not bool(self._state.ok):
             raise ValueError('time step very small')
-        t_arr, h_arr, u_arr, v_arr = (np.asarray(a) for a in snaps)
+        t_arr, h_arr, u_arr, v_arr = jax.device_get(snaps)   # one batched pull
         return {'t': np.concatenate([[init[0]], t_arr]),
                 'h': np.concatenate([init[1][None], h_arr]),
                 'u': np.concatenate([init[2][None], u_arr]),
