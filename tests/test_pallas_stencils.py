@@ -131,3 +131,24 @@ def test_frame_path_el_nino_wind():
     np.testing.assert_array_equal(np.asarray(sb.h), np.asarray(sa.h))
     np.testing.assert_array_equal(np.asarray(sb.u), np.asarray(sa.u))
     np.testing.assert_array_equal(np.asarray(sb.v), np.asarray(sa.v))
+
+
+@pytest.mark.parametrize('bx,by', [('periodic', 'walls'), ('periodic', 'periodic'),
+                                   ('walls', 'periodic')])
+def test_frame_path_boundary_combinations(bx, by):
+    """Frame-path BCs (apply_boundary_conditions_frame) reproduce every
+    periodic/walls combination bit-exactly."""
+    kw = dict(nx=34, ny=130, dx=100e3, dy=100e3, dt=60.0, f_0=1e-4, beta=0.0,
+              r=0.0, boundary_type={'x': bx, 'y': by},
+              initial_info={'type': 'height_gaussian', 'min_h_surface': 9750.0,
+                            'max_h_surface': 9850.0, 'x0': 0.0, 'y0': 0.0,
+                            'x_std': 3e5, 'y_std': 3e5, 'add_noise': False},
+              numerical_solver='richtmyer_pallas')
+    w = sw.ShallowWater(**kw)
+    sa = w.state
+    for _ in range(5):
+        sa = sw.sw_step(sa, w.params, **w._step_kwargs())
+    sb = sw.sw_simulate(w.state, w.params, 5, **w._step_kwargs())
+    np.testing.assert_array_equal(np.asarray(sb.h), np.asarray(sa.h))
+    np.testing.assert_array_equal(np.asarray(sb.u), np.asarray(sa.u))
+    np.testing.assert_array_equal(np.asarray(sb.v), np.asarray(sa.v))
