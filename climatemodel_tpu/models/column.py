@@ -255,6 +255,10 @@ class EquilibriumInfo(NamedTuple):
     flux_thresh: jnp.ndarray
     failed: jnp.ndarray            # temperature went negative (base.py:319-320)
     equilibrium: jnp.ndarray
+    nan: jnp.ndarray               # non-finite T or flux appeared (sanitizer:
+    #                                the march aborts immediately instead of
+    #                                running to max_steps on garbage; the
+    #                                reference has no equivalent guard)
 
 
 def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
@@ -283,8 +287,37 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
     t0 = state.t
     ft0 = jnp.asarray(flux_thresh, dtype)
 
+    body = _march_body(net_flux_fn, p_interface, p_centre_col, t0,
+                       convective_adjust=convective_adjust, t_end=t_end,
+                       conv_thresh=conv_thresh,
+                       conv_t_multiplier=conv_t_multiplier,
+                       net_flux_thresh=net_flux_thresh,
+                       net_flux_percentile=net_flux_percentile,
+                       p_descending=p_descending, use_delta_exit=use_delta_exit,
+                       conv_method=conv_method)
+
+    def cond(carry):
+        _st, _ft, _delta, i, eqb, failed, nan = carry
+        return ~eqb & ~failed & ~nan & (i < max_steps)
+
+    init = (state, ft0, jnp.asarray(1e6, dtype),
+            jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(False))
+    st, ft, delta, i, eqb, failed, nan = lax.while_loop(cond, body, init)
+    if final_reset:
+        st = st.replace(tsi=reset_time_step_info(st.tsi))
+    return st, EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
+                               failed=failed, equilibrium=eqb, nan=nan)
+
+
+def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
+                convective_adjust, t_end, conv_thresh, conv_t_multiplier,
+                net_flux_thresh, net_flux_percentile, p_descending,
+                use_delta_exit, conv_method):
+    """The shared march step over carry (state, ft, delta, i, eqb, failed, nan)
+    used by both the fused while_loop and the snapshot scan."""
     def body(carry):
-        st, ft, _delta, i, _eqb, _failed = carry
+        st, ft, _delta, i, _eqb, _failed, _nan = carry
         net = net_flux_fn(st.T)
         st, delta = update_temp(st, net, p_interface, p_centre_col,
                                 changing_tau=False,
@@ -299,17 +332,88 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
         eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
         failed = jnp.min(st.T) < 0
+        # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
+        # first non-finite temperature or flux instead of looping on garbage
+        nan = ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
         timed_out = (st.t - t0) / SECONDS_PER_YEAR > t_end
-        return st, ft, delta, i + 1, eqb | timed_out, failed
+        return st, ft, delta, i + 1, eqb | timed_out, failed, nan
+    return body
 
-    def cond(carry):
-        _st, _ft, _delta, i, eqb, failed = carry
-        return ~eqb & ~failed & (i < max_steps)
+
+def evolve_snapshots(state: ColumnState, net_flux_fn: Callable, p_interface,
+                     p_centre_col, *, n_snaps: int, steps_per_snap: int = 1,
+                     snapshot_fn: Callable | None = None,
+                     flux_thresh: float = 1e-3, convective_adjust: bool = False,
+                     t_end: float = 4.0, conv_thresh: float = 1e-5,
+                     conv_t_multiplier: float = 5.0,
+                     net_flux_thresh: float = 1e-7,
+                     net_flux_percentile: float = 95,
+                     p_descending: bool = True, use_delta_exit: bool = True,
+                     conv_method: str = 'reference', i0=0,
+                     snapshot_on: str = 'pre'):
+    """Fused march that stacks a snapshot every ``steps_per_snap`` steps.
+
+    The TPU-native replacement of the reference's per-step ``save_data``
+    appends (base.py:266-335 + save_data): instead of two device->host syncs
+    per step, the whole chunk of ``n_snaps * steps_per_snap`` steps runs as one
+    ``lax.scan`` and the host pulls all snapshots in one transfer.  Once the
+    march reaches equilibrium (or fails) the remaining scan iterations are
+    no-ops emitting repeats of the final state — callers truncate using the
+    returned per-snapshot ``steps`` / ``equilibrium`` arrays.
+
+    :param snapshot_fn: optional ``T -> pytree`` of extra per-snapshot arrays
+        (e.g. the grey model's four flux fields for animation data).
+    :param snapshot_on: 'pre' evaluates snapshot_fn on the temperature BEFORE
+        the snapshot's steps — the grey reference's save_data stores fluxes
+        computed at step start alongside the post-step temperature
+        (grey.py:296-383); 'post' evaluates it on the post-step temperature —
+        the real-gas reference recomputes fluxes at save time
+        (real_gas.py:720-746).
+    :return: (final state, EquilibriumInfo, snaps) where snaps is a dict with
+        't', 'T', 'delta', 'steps', 'equilibrium', 'failed', 'nan' arrays of
+        leading length n_snaps, plus 'extra' from snapshot_fn.
+    """
+    dtype = state.T.dtype
+    t0 = state.t
+    ft0 = jnp.asarray(flux_thresh, dtype)
+    body = _march_body(net_flux_fn, p_interface, p_centre_col, t0,
+                       convective_adjust=convective_adjust, t_end=t_end,
+                       conv_thresh=conv_thresh,
+                       conv_t_multiplier=conv_t_multiplier,
+                       net_flux_thresh=net_flux_thresh,
+                       net_flux_percentile=net_flux_percentile,
+                       p_descending=p_descending,
+                       use_delta_exit=use_delta_exit, conv_method=conv_method)
+
+    def inner_cond_limit(limit):
+        def cond(carry):
+            _st, _ft, _delta, i, eqb, failed, nan = carry
+            return ~eqb & ~failed & ~nan & (i < limit)
+        return cond
+
+    if snapshot_on not in ('pre', 'post'):
+        raise ValueError(f'snapshot_on must be pre or post, got {snapshot_on!r}')
+
+    def outer(carry, _):
+        extra = None
+        if snapshot_fn is not None and snapshot_on == 'pre':
+            extra = snapshot_fn(carry[0].T)
+        limit = carry[3] + steps_per_snap
+        carry = lax.while_loop(inner_cond_limit(limit), body, carry)
+        st, ft, delta, i, eqb, failed, nan = carry
+        if snapshot_fn is not None and snapshot_on == 'post':
+            extra = snapshot_fn(st.T)
+        snap = {'t': st.t, 'T': st.T, 'delta': delta, 'steps': i,
+                'equilibrium': eqb, 'failed': failed, 'nan': nan}
+        if extra is not None:
+            snap['extra'] = extra
+        return carry, snap
 
     init = (state, ft0, jnp.asarray(1e6, dtype),
-            jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False))
-    st, ft, delta, i, eqb, failed = lax.while_loop(cond, body, init)
-    if final_reset:
-        st = st.replace(tsi=reset_time_step_info(st.tsi))
-    return st, EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
-                               failed=failed, equilibrium=eqb)
+            jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(False))
+    carry, snaps = lax.scan(outer, init, None, length=n_snaps)
+    st, ft, delta, i, eqb, failed, nan = carry
+    info = EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
+                           failed=failed, equilibrium=eqb, nan=nan)
+    return st, info, snaps

@@ -102,6 +102,25 @@ def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
         conv_method=conv_method, i0=i0, final_reset=final_reset)
 
 
+@functools.partial(jax.jit, static_argnames=('convective_adjust', 'conv_method',
+                                             'n_snaps', 'with_fluxes'))
+def _grey_evolve_snapshots(state: ColumnState, forcing: GreyForcing,
+                           p_interface, p_centre_col, flux_thresh, n_snaps,
+                           convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
+                           conv_t_multiplier=5.0, conv_method='reference', i0=0,
+                           with_fluxes=False):
+    """Fused save-mode march: one lax.scan emitting a per-step snapshot (and
+    optionally the four flux fields, lagged like the reference's save_data)."""
+    net_fn = lambda T: grey_net_flux(T, forcing)
+    snap_fn = (lambda T: grey_fluxes(T, forcing)) if with_fluxes else None
+    return column.evolve_snapshots(
+        state, net_fn, p_interface, p_centre_col, n_snaps=n_snaps,
+        steps_per_snap=1, snapshot_fn=snap_fn, flux_thresh=flux_thresh,
+        convective_adjust=convective_adjust, t_end=t_end,
+        conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
+        conv_method=conv_method, i0=i0)
+
+
 class GreyGas:
     """User-facing grey-gas column model mirroring the reference state API
     (grey.py:17-106): same constructor vocabulary, same attribute names."""
@@ -311,6 +330,8 @@ class GreyGas:
             # all device->host reads below are batched into single
             # jax.device_get calls: each separate sync costs a full tunnel
             # round trip (~25 ms) on axon
+            if verbose and chunk_steps is None:
+                chunk_steps = 1000
             if chunk_steps is None:
                 self._state, info = _grey_evolve(
                     self._state, self.forcing, p_int, p_c, ft,
@@ -320,19 +341,32 @@ class GreyGas:
                     conv_method=conv_method)
             else:
                 i0 = 0
+                t_start = t_chunk_start = data_dict['t'][-1]
                 while True:
+                    # t_end budgets the whole march; each chunk re-anchors its
+                    # in-device timeout, so hand it only the remainder
+                    t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
+                        / SECONDS_PER_YEAR
                     self._state, info = _grey_evolve(
                         self._state, self.forcing, p_int, p_c, ft,
                         convective_adjust=convective_adjust,
-                        t_end=float(t_end), conv_thresh=conv_thresh,
+                        t_end=t_end_chunk, conv_thresh=conv_thresh,
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method, i0=i0,
                         max_steps=i0 + int(chunk_steps), final_reset=False)
-                    steps_np, eqb_np, failed_np = jax.device_get(
-                        (info.steps, info.equilibrium, info.failed))
+                    steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np = \
+                        jax.device_get((info.steps, info.delta_net_flux,
+                                        self._state.t, info.equilibrium,
+                                        info.failed, info.nan))
                     i0 = int(steps_np)
                     ft = info.flux_thresh        # keep the tightened threshold
-                    if bool(eqb_np) or bool(failed_np):
+                    t_chunk_start = float(t_chunk)
+                    if verbose:
+                        # per-chunk convergence telemetry (base.py:324-327)
+                        print(f'step {i0}: t = '
+                              f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
+                              f'delta_net_flux = {float(delta_np):.4f}')
+                    if bool(eqb_np) or bool(failed_np) or bool(nan_np):
                         break
                 self._state = self._state.replace(
                     tsi=column.reset_time_step_info(self._state.tsi))
@@ -342,34 +376,84 @@ class GreyGas:
                                                          self.forcing))
             self._equilibrium_info, t_np, T_np = jax.device_get(
                 (info, self._state.t, self._state.T))
+            if bool(self._equilibrium_info.nan):
+                raise FloatingPointError(
+                    'non-finite temperature or flux encountered during the '
+                    'march (NaN sentinel) — check forcing inputs')
             if bool(self._equilibrium_info.failed):
                 raise ValueError('Temperature is below zero')
             data_dict['t'].append(float(t_np))
             data_dict['T'].append(np.asarray(T_np))
             return data_dict
 
-        t = data_dict['t'][-1]
-        t0_years = t / SECONDS_PER_YEAR
-        equilibrium = False
-        i = 0
-        while not equilibrium:
-            t, delta = self.take_time_step(t, changing_tau=False,
-                                           convective_adjust=convective_adjust,
-                                           conv_thresh=conv_thresh,
-                                           conv_t_multiplier=conv_t_multiplier)
-            data_dict = self.save_data(data_dict, t)
-            if i == 1:
-                flux_thresh = min(flux_thresh, 0.99 * delta)
-            equilibrium = bool(column.check_equilibrium(
-                self._state.net_flux, delta, flux_thresh))
-            if self.T.min() < 0:
+        # fused snapshot march (save=True): chunks of per-step snapshots run
+        # as one lax.scan each, with ONE batched device_get per chunk instead
+        # of the reference's two host syncs per step (base.py:266-335 +
+        # save_data semantics, including the flux lag: fluxes stored with step
+        # k are the ones computed from step k's starting temperature).
+        p_int = jnp.asarray(self.p_interface, self.dtype)
+        p_c = jnp.asarray(self.p[:, 0], self.dtype)
+        ft = jnp.asarray(flux_thresh, self.dtype)
+        with_fluxes = 'flux' in data_dict
+        with_tau = 'tau' in data_dict
+        chunk = int(chunk_steps) if chunk_steps else 256
+        i0 = 0
+        t_start = data_dict['t'][-1]
+        t_chunk_start = t_start
+        while True:
+            # t_end is a whole-march budget: hand each chunk the remainder
+            t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
+                / SECONDS_PER_YEAR
+            self._state, info, snaps = _grey_evolve_snapshots(
+                self._state, self.forcing, p_int, p_c, ft, n_snaps=chunk,
+                convective_adjust=convective_adjust, t_end=t_end_chunk,
+                conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
+                conv_method=conv_method, i0=i0, with_fluxes=with_fluxes)
+            info_np, snaps_np = jax.device_get((info, snaps))
+            steps = np.asarray(snaps_np['steps'])
+            prev = i0
+            for k in range(chunk):
+                if steps[k] <= prev:
+                    break                     # march ended mid-chunk
+                prev = int(steps[k])
+                t_k = float(snaps_np['t'][k])
+                data_dict['t'].append(t_k)
+                data_dict['T'].append(np.asarray(snaps_np['T'][k]))
+                if with_tau:
+                    data_dict['tau']['lw'].append(self.tau.copy())
+                    data_dict['tau']['sw'].append(self.tau_sw.copy())
+                if with_fluxes:
+                    fx = snaps_np['extra']
+                    data_dict['flux']['lw_up'].append(np.asarray(fx[0][k]))
+                    data_dict['flux']['lw_down'].append(np.asarray(fx[1][k]))
+                    data_dict['flux']['sw_up'].append(np.asarray(fx[2][k]))
+                    data_dict['flux']['sw_down'].append(np.asarray(fx[3][k]))
+                if verbose:
+                    print(f't = {t_k / SECONDS_PER_YEAR:.3f} yr, '
+                          f'delta_net_flux = '
+                          f'{float(snaps_np["delta"][k]):.4f}', end='\r')
+            i0 = int(info_np.steps)
+            ft = info.flux_thresh             # keep the tightened threshold
+            t_chunk_start = data_dict['t'][-1]
+            if bool(info_np.nan):
+                raise FloatingPointError(
+                    'non-finite temperature or flux encountered during the '
+                    'march (NaN sentinel) — check forcing inputs')
+            if bool(info_np.failed):
                 raise ValueError('Temperature is below zero')
-            if t / SECONDS_PER_YEAR - t0_years > t_end:
-                equilibrium = True
-            if verbose:
-                print(f't = {t / SECONDS_PER_YEAR:.3f} yr, '
-                      f'delta_net_flux = {delta:.4f}', end='\r')
-            i += 1
+            if bool(info_np.equilibrium):
+                break
+        # flux views at the last step (lagged like the host path / reference)
+        if with_fluxes:
+            self._fluxes = tuple(jnp.asarray(data_dict['flux'][key][-1],
+                                             self.dtype)
+                                 for key in ('lw_up', 'lw_down', 'sw_up',
+                                             'sw_down'))
+        else:
+            self._fluxes = tuple(
+                jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,
+                                                         self.forcing))
+        self._equilibrium_info = info_np
         self._state = self._state.replace(
             tsi=column.reset_time_step_info(self._state.tsi))
         return data_dict

@@ -88,10 +88,16 @@ class GreyAlbedoFeedback:
             self.latitude_plot = np.sort(np.concatenate((mid, [0.0])))
 
     def update_albedo(self, delta_albedo=0.1, delta_net_flux_thresh=1e-3,
-                      conv_adjust=False):
+                      conv_adjust=False, max_ramp_iterations=200):
         """Equilibrate, re-derive albedo from surface temperature, and ramp the
         changed latitudes in delta_albedo increments, re-equilibrating each
-        ramp step (ice_albedo_feedback.py:127-158)."""
+        ramp step (ice_albedo_feedback.py:127-158).
+
+        The reference's ramp loop can cycle forever when a latitude's surface
+        temperature oscillates across T_ice between ramp steps
+        (ice_albedo_feedback.py:152-158 has no exit); ``max_ramp_iterations``
+        bounds it and raises loudly instead (deliberate divergence).
+        """
         world = self.grey_world
         albedo_last = world.albedo.copy()
         world.evolve_to_equilibrium(flux_thresh=delta_net_flux_thresh,
@@ -99,7 +105,14 @@ class GreyAlbedoFeedback:
         albedo_new = self.albedo_function(world.latitude, world.T[0, :])
         to_update = np.where(albedo_last != albedo_new)[0]
         ramp = np.sign(albedo_new - albedo_last)[to_update] * delta_albedo
+        iterations = 0
         while len(to_update) > 0:
+            if iterations >= max_ramp_iterations:
+                raise RuntimeError(
+                    f'albedo ramp did not converge after {iterations} '
+                    f'iterations; latitudes {to_update.tolist()} keep '
+                    'oscillating across T_ice (raise max_ramp_iterations or '
+                    'loosen delta_albedo)')
             world.albedo[to_update] = np.clip(world.albedo[to_update] + ramp,
                                               self.albedo_no_ice, self.albedo_ice)
             world.evolve_to_equilibrium(flux_thresh=delta_net_flux_thresh,
@@ -107,6 +120,7 @@ class GreyAlbedoFeedback:
                                         convective_adjust=conv_adjust)
             to_update = np.where(world.albedo != albedo_new)[0]
             ramp = np.sign(albedo_new - world.albedo)[to_update] * delta_albedo
+            iterations += 1
 
     def run(self, delta_albedo=0.1, delta_net_flux_thresh=1e-3,
             conv_adjust=False, progress=False):

@@ -200,13 +200,15 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
-                                             'net_flux_percentile'))
+                                             'net_flux_percentile',
+                                             'conv_method', 'final_reset'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
                      F_star_factor, delta, p_interface, p_centre_col,
                      flux_thresh, convective_adjust=False, t_end=4.0,
                      conv_thresh=1e-5, conv_t_multiplier=5.0,
                      net_flux_thresh=1e-7, net_flux_percentile=95,
-                     max_steps=500_000):
+                     max_steps=500_000, conv_method='reference', i0=0,
+                     final_reset=True):
     # tau (composition) is fixed during the march: hoist the transmission
     # matrices and integral-weight products out of the loop; each step is then
     # a couple of small batched matmuls over the Planck factors.
@@ -222,6 +224,43 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
         conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
         net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
+        p_descending=False, conv_method=conv_method, i0=i0,
+        final_reset=final_reset)
+
+
+@functools.partial(jax.jit, static_argnames=('convective_adjust', 'n_snaps',
+                                             'conv_method', 'with_fluxes'))
+def _real_gas_evolve_snapshots(state: ColumnState, T_g, tau_interface,
+                               ba: BandArrays, F_star_factor, delta, delta_lw,
+                               delta_sw, p_interface, p_centre_col, flux_thresh,
+                               n_snaps, convective_adjust=False, t_end=4.0,
+                               conv_thresh=1e-5, conv_t_multiplier=5.0,
+                               conv_method='reference', i0=0,
+                               with_fluxes=False):
+    """Fused save-mode march: per-step snapshots of (t, T) and optionally the
+    lw/sw-split flux sums the reference's save_data records
+    (real_gas.py:720-746), pulled to the host one chunk at a time."""
+    cache = precompute_transmission(tau_interface, ba)
+
+    def net_fn(T):
+        up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
+                                          F_star_factor)
+        return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
+
+    snap_fn = None
+    if with_fluxes:
+        def snap_fn(T):
+            up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
+                                              F_star_factor)
+            return (up @ delta_lw, down @ delta_lw,
+                    up @ delta_sw, down @ delta_sw)
+
+    return column.evolve_snapshots(
+        state, net_fn, p_interface, p_centre_col, n_snaps=n_snaps,
+        steps_per_snap=1, snapshot_fn=snap_fn, snapshot_on='post',
+        flux_thresh=flux_thresh, convective_adjust=convective_adjust,
+        t_end=t_end, conv_thresh=conv_thresh,
+        conv_t_multiplier=conv_t_multiplier, conv_method=conv_method, i0=i0,
         p_descending=False)
 
 
@@ -533,8 +572,17 @@ class RealGas:
     def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
                               T_initial=None, convective_adjust=False,
                               save=False, t_end=4.0, conv_thresh=1e-5,
-                              conv_t_multiplier=5):
-        """March to equilibrium (base.py:266-335) with the fused device loop."""
+                              conv_t_multiplier=5, conv_method='reference',
+                              chunk_steps=None, verbose=False):
+        """March to equilibrium (base.py:266-335) with the fused device loop.
+
+        :param chunk_steps: split the fused march into device calls of this
+            many steps (bounds single XLA executions on watchdog-limited
+            accelerators and enables progress telemetry).
+        :param verbose: print per-chunk convergence telemetry (steps, t,
+            delta_net_flux — the base.py:324-327 progress line); implies
+            ``chunk_steps=1000`` when chunking wasn't requested.
+        """
         if T_initial is not None and float(self._state.t) == 0:
             self.T = T_initial
         if data_dict is None:
@@ -543,42 +591,124 @@ class RealGas:
             self._state = self._state.replace(
                 t=jnp.asarray(data_dict['t'][-1], self.dtype))
         if save:
-            t = data_dict['t'][-1]
-            t0_years = t / SECONDS_PER_YEAR
-            equilibrium = False
-            i = 0
-            while not equilibrium:
-                t, delta = self.take_time_step(
-                    t, convective_adjust=convective_adjust,
+            # fused snapshot march: chunks of per-step snapshots as one
+            # lax.scan each, one batched device_get per chunk (the reference's
+            # loop syncs twice per step; real_gas.py:720-746 save semantics,
+            # fluxes recomputed at the post-step temperature)
+            with_fluxes = 'flux' in data_dict
+            with_q = 'q' in data_dict
+            sw_mask = self.nu_bands['sw']
+            d_nu = self.nu_bands['delta']
+            args = (jnp.asarray(self.T_g, self.dtype), self.tau_device,
+                    self.band_arrays, self._F_star_factor,
+                    jnp.asarray(d_nu, self.dtype),
+                    jnp.asarray(np.where(sw_mask, 0.0, d_nu), self.dtype),
+                    jnp.asarray(np.where(sw_mask, d_nu, 0.0), self.dtype),
+                    jnp.asarray(self.p_interface, self.dtype),
+                    jnp.asarray(self.p[:, 0], self.dtype))
+            ft = jnp.asarray(flux_thresh, self.dtype)
+            chunk = 256
+            i0 = 0
+            t_start = t_chunk_start = data_dict['t'][-1]
+            while True:
+                t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
+                    / SECONDS_PER_YEAR
+                self._state, info, snaps = _real_gas_evolve_snapshots(
+                    self._state, *args, ft, n_snaps=chunk,
+                    convective_adjust=convective_adjust, t_end=t_end_chunk,
                     conv_thresh=conv_thresh,
-                    conv_t_multiplier=conv_t_multiplier)
-                data_dict = self.save_data(data_dict, t)
-                if i == 1:
-                    flux_thresh = min(flux_thresh, 0.99 * delta)
-                equilibrium = bool(column.check_equilibrium(
-                    self._state.net_flux, delta, flux_thresh))
-                if self.T.min() < 0:
+                    conv_t_multiplier=conv_t_multiplier, i0=i0,
+                    with_fluxes=with_fluxes)
+                info_np, snaps_np = jax.device_get((info, snaps))
+                steps = np.asarray(snaps_np['steps'])
+                prev = i0
+                for k in range(chunk):
+                    if steps[k] <= prev:
+                        break
+                    prev = int(steps[k])
+                    data_dict['t'].append(float(snaps_np['t'][k]))
+                    data_dict['T'].append(np.asarray(snaps_np['T'][k]))
+                    if with_fluxes:
+                        fx = snaps_np['extra']
+                        data_dict['flux']['lw_up'].append(np.asarray(fx[0][k]))
+                        data_dict['flux']['lw_down'].append(
+                            np.asarray(fx[1][k]))
+                        data_dict['flux']['sw_up'].append(np.asarray(fx[2][k]))
+                        data_dict['flux']['sw_down'].append(
+                            np.asarray(fx[3][k]))
+                    if with_q:
+                        for name in data_dict['q']:
+                            q_mol = np.asarray(self.q_funcs[name](
+                                self.p[:, 0], *self.q_funcs_args[name]))
+                            data_dict['q'][name].append(
+                                ppmv_from_humidity(q_mol, name))
+                i0 = int(info_np.steps)
+                ft = info.flux_thresh
+                t_chunk_start = data_dict['t'][-1]
+                if bool(info_np.nan):
+                    raise FloatingPointError(
+                        'non-finite temperature or flux encountered during '
+                        'the march (NaN sentinel) — check forcing/table '
+                        'inputs')
+                if bool(info_np.failed):
                     raise ValueError('Temperature is below zero')
-                if t / SECONDS_PER_YEAR - t0_years > t_end:
-                    equilibrium = True
-                i += 1
+                if bool(info_np.equilibrium):
+                    break
+            self._equilibrium_info = info_np
             self._state = self._state.replace(
                 tsi=column.reset_time_step_info(self._state.tsi))
             self.up_flux, self.down_flux = self.get_flux()
+            nf = jax.device_get(self._state.net_flux)
+            self.net_flux = np.asarray(nf)[:, 0]
             return data_dict
-        self._state, info = _real_gas_evolve(
-            self._state, jnp.asarray(self.T_g, self.dtype),
-            self.tau_device, self.band_arrays,
-            self._F_star_factor, jnp.asarray(self.nu_bands['delta'], self.dtype),
-            jnp.asarray(self.p_interface, self.dtype),
-            jnp.asarray(self.p[:, 0], self.dtype),
-            jnp.asarray(flux_thresh, self.dtype),
-            convective_adjust=convective_adjust, t_end=float(t_end),
-            conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier)
+        if verbose and chunk_steps is None:
+            chunk_steps = 1000
+        args = (jnp.asarray(self.T_g, self.dtype), self.tau_device,
+                self.band_arrays, self._F_star_factor,
+                jnp.asarray(self.nu_bands['delta'], self.dtype),
+                jnp.asarray(self.p_interface, self.dtype),
+                jnp.asarray(self.p[:, 0], self.dtype))
+        kw = dict(convective_adjust=convective_adjust,
+                  conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
+                  conv_method=conv_method)
+        ft = jnp.asarray(flux_thresh, self.dtype)
+        if chunk_steps is None:
+            self._state, info = _real_gas_evolve(self._state, *args, ft,
+                                                 t_end=float(t_end), **kw)
+        else:
+            i0 = 0
+            t_start = t_chunk_start = data_dict['t'][-1]
+            while True:
+                # t_end budgets the whole march; each chunk re-anchors its
+                # in-device timeout, so hand it only the remainder
+                t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
+                    / SECONDS_PER_YEAR
+                self._state, info = _real_gas_evolve(
+                    self._state, *args, ft, i0=i0, t_end=t_end_chunk,
+                    max_steps=i0 + int(chunk_steps), final_reset=False, **kw)
+                steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np = \
+                    jax.device_get((info.steps, info.delta_net_flux,
+                                    self._state.t, info.equilibrium,
+                                    info.failed, info.nan))
+                i0 = int(steps_np)
+                ft = info.flux_thresh        # keep the tightened threshold
+                t_chunk_start = float(t_chunk)
+                if verbose:
+                    print(f'step {i0}: t = '
+                          f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
+                          f'delta_net_flux = {float(delta_np):.4f}')
+                if bool(eqb_np) or bool(failed_np) or bool(nan_np):
+                    break
+            self._state = self._state.replace(
+                tsi=column.reset_time_step_info(self._state.tsi))
         # batch every device->host read into one transfer (each separate sync
         # is a full tunnel round trip on axon)
         self._equilibrium_info, nf_np, t_np, T_np = jax.device_get(
             (info, self._state.net_flux, self._state.t, self._state.T))
+        if bool(self._equilibrium_info.nan):
+            raise FloatingPointError(
+                'non-finite temperature or flux encountered during the march '
+                '(NaN sentinel) — check forcing/table inputs')
         if bool(self._equilibrium_info.failed):
             raise ValueError('Temperature is below zero')
         self.up_flux, self.down_flux = self.get_flux()

@@ -75,6 +75,11 @@ def maccormack(u, f, g, Q, dt, dx, dy, no_source_ind=()):
               - sy * (G[:, :-1, 1:] - G[:, :-1, :-1]))
     F_p = f(u_pred)
     G_p = g(u_pred)
+    # PRESERVED REFERENCE BUG: the G-flux (y) difference is scaled by sx, not
+    # sy (numerical_methods.py:93 multiplies both corrector differences by
+    # sigma_x).  Kept deliberately for bit-level parity with the reference —
+    # do NOT "fix" to sy without breaking the maccormack oracle tests
+    # (tests/test_shallow_water.py).  Harmless on square grids (dx == dy).
     u_new = (0.5 * (un[:, 1:-1, 1:-1] + u_pred[:, 1:, 1:])
              - 0.5 * sx * (F_p[:, 1:, 1:] - F_p[:, :-1, 1:])
              - 0.5 * sx * (G_p[:, 1:, 1:] - G_p[:, 1:, :-1]))

@@ -193,3 +193,49 @@ def test_plot_absorption_coefficient():
         'single_line', 101320.0, 296.0, folder=REF_LUT)
     assert ax.get_yscale() == 'log'
     plt.close(fig)
+
+
+def test_nan_sentinel_aborts_march():
+    """A non-finite forcing aborts the fused march immediately with a clear
+    error instead of looping to max_steps (SURVEY §5 sanitizer row)."""
+    w = GreyGas(nz=20, ny=1, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    w.F_stellar_constant = float('nan')
+    with pytest.raises(FloatingPointError, match='non-finite'):
+        w.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    assert bool(w._equilibrium_info.nan)
+    assert int(w._equilibrium_info.steps) <= 3
+
+
+def test_verbose_chunked_march_telemetry(capsys):
+    """verbose=True on the fused save=False march prints per-chunk convergence
+    telemetry (steps / t / delta_net_flux, base.py:324-327) and still reaches
+    the same equilibrium."""
+    kw = dict(nz=20, ny=1, tau_lw_func='scale_height',
+              tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    w = GreyGas(**kw)
+    w.evolve_to_equilibrium(flux_thresh=1e-3, save=False, verbose=True,
+                            chunk_steps=50)
+    out = capsys.readouterr().out
+    assert 'delta_net_flux' in out and 'step ' in out
+    w2 = GreyGas(**kw)
+    w2.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    np.testing.assert_allclose(w.T, w2.T, atol=1e-6)
+
+
+def test_albedo_ramp_guard():
+    """GreyAlbedoFeedback.update_albedo raises instead of spinning forever when
+    the ramp cannot converge (models/ice_albedo.py guard; the reference's loop
+    at ice_albedo_feedback.py:152-158 has no exit)."""
+    from climatemodel_tpu.models.ice_albedo import GreyAlbedoFeedback
+    fb = GreyAlbedoFeedback(
+        tau_lw_surface_values=[1.0, 4.0], stellar_constant_values=1361.0,
+        nz=20, ny=4, tau_lw_func='scale_height',
+        tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    # an albedo target the 0.1-increment ramp can never land on (0.45 from
+    # 0.3: 0.4 -> 0.5 -> 0.4 -> ... oscillates forever in the reference)
+    fb.albedo_function = lambda latitude, T_surface=None: \
+        np.full(np.shape(latitude), 0.45)
+    with pytest.raises(RuntimeError, match='albedo ramp did not converge'):
+        fb.update_albedo(delta_albedo=0.1, delta_net_flux_thresh=1e-2,
+                         max_ramp_iterations=3)

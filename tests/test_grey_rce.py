@@ -8,6 +8,7 @@ re-implementation moves them from the isothermal start — verified by running
 the actual reference under tests/reference_harness.py.  Equilibrium is marched
 twice (the second call after the reference's RemoveInd reset, base.py:329-334)
 which is how reference experiments reach tight flux balance."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -134,3 +135,33 @@ def test_isothermal_initial_state_energy_balance():
     T0_expect = (F_sun * (1 - 0.3) / 4 / sigma) ** 0.25
     np.testing.assert_allclose(world.T0, T0_expect, rtol=1e-10)
     assert world.T.shape == (world.nz - 1, 1)
+
+
+def test_fused_save_flux_lag_parity():
+    """The fused snapshot march's data_dict reproduces the reference save_data
+    layout: flux entries stored with step k are the fluxes computed from step
+    k's STARTING temperature (grey.py:296-383 lag), and tau entries repeat the
+    static grids."""
+    from climatemodel_tpu.models.grey import grey_fluxes
+    w = GreyGas(nz=25, ny=1, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 2.0])
+    data = {'t': [0.0], 'T': [w.T.copy()],
+            'tau': {'lw': [w.tau.copy()], 'sw': [w.tau_sw.copy()]},
+            'flux': {'lw_up': [w.up_lw_flux], 'lw_down': [w.down_lw_flux],
+                     'sw_up': [w.up_sw_flux], 'sw_down': [w.down_sw_flux]}}
+    data = w.evolve_to_equilibrium(data_dict=data, flux_thresh=5e-2, save=True)
+    n = len(data['t'])
+    assert n > 3
+    for key in ('T',):
+        assert len(data[key]) == n
+    for key in ('lw_up', 'lw_down', 'sw_up', 'sw_down'):
+        assert len(data['flux'][key]) == n
+    assert len(data['tau']['lw']) == n
+    # lag check: flux stored at step k comes from T at step k-1
+    for k in (2, n - 1):
+        up_lw, down_lw, _, _ = grey_fluxes(
+            jnp.asarray(data['T'][k - 1], w.dtype), w.forcing)
+        np.testing.assert_allclose(np.asarray(data['flux']['lw_up'][k]),
+                                   np.asarray(up_lw), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(data['flux']['lw_down'][k]),
+                                   np.asarray(down_lw), rtol=1e-6)
