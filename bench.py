@@ -142,66 +142,192 @@ def bench_real_gas():
             'nz': gas.nz, 'steps': steps, 'wall_s': wall}
 
 
-def bench_rce_conv():
-    """Grey radiative-convective equilibrium (BASELINE config #2): the
-    thermosphere world with convective adjustment inside the compiled march."""
+def _thermosphere_world(nz=150):
+    # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
+    # compiles/runs long enough to trip the axon execution watchdog)
     from climatemodel_tpu.constants import p_surface_earth
     from climatemodel_tpu.models.grey import GreyGas
+    return GreyGas(nz=nz, ny=1,
+                   tau_lw_func='scale_height_and_peak_in_atmosphere',
+                   tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                   tau_sw_func='scale_height_and_peak_in_atmosphere',
+                   tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002])
 
-    def build():
-        # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
-        # compiles/runs long enough to trip the axon execution watchdog)
-        return GreyGas(nz=150, ny=1,
-                       tau_lw_func='scale_height_and_peak_in_atmosphere',
-                       tau_lw_func_args=[51000, 4, 100, 600, 0.1],
-                       tau_sw_func='scale_height_and_peak_in_atmosphere',
-                       tau_sw_func_args=[p_surface_earth, 0.12, 100, 20,
-                                         0.002])
-    # conv_method='isotonic': the TPU-parallel adjustment (same physics);
-    # the faithful group-blend iteration is for CPU parity work — its
-    # sequential group loop is latency-bound on accelerators.  chunk_steps
-    # bounds single XLA executions (long runs trip the axon watchdog).
-    kw = dict(flux_thresh=1e-1, save=False, convective_adjust=True,
-              conv_method='isotonic', chunk_steps=400)
-    world = build()
+
+def bench_rce_conv():
+    """Grey radiative-convective equilibrium (BASELINE config #2): the
+    thermosphere world with convective adjustment inside the compiled march.
+
+    conv_method='isotonic' is the TPU-parallel adjustment (same physics); the
+    faithful group-blend iteration exists for CPU parity work.  flux_thresh is
+    tight so the march is long enough (~320 steps) to amortise the fixed
+    dispatch latency — short marches measure the tunnel, not the step."""
+    kw = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
+              conv_method='isotonic')
+    world = _thermosphere_world()
     world.evolve_to_equilibrium(**kw)         # compile + run
-    world2 = build()
+    world2 = _thermosphere_world()
     t0 = time.perf_counter()
     world2.evolve_to_equilibrium(**kw)
     wall = time.perf_counter() - t0
     days = float(world2.state.t) / 86400.0
+    steps = int(world2._equilibrium_info.steps)
     return {'model_days_per_sec': days / wall, 'nz': world2.nz,
-            'conv_method': 'isotonic',
-            'steps': int(world2._equilibrium_info.steps), 'wall_s': wall}
+            'conv_method': 'isotonic', 'steps': steps, 'wall_s': wall,
+            'steps_per_sec': steps / wall, 'ms_per_step': 1e3 * wall / steps}
+
+
+def bench_rce_conv_ensemble(n_ensemble=512):
+    """Vmapped convective-RCE ensemble: n independent thermosphere columns
+    (varying stellar constants) marched to radiative-convective equilibrium in
+    one compiled program — the TPU-native way to run convective RCE at scale."""
+    from climatemodel_tpu.models import ensemble
+    world = _thermosphere_world()
+    F = np.linspace(1200.0, 1500.0, n_ensemble)
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
+    ft = jnp.asarray(1e-1, world.dtype)
+    run = lambda: ensemble.grey_evolve_ensemble(
+        states, forcings, p_int, p_c, ft, convective_adjust=True,
+        max_steps=3000)
+    out = run()
+    _sync(out)
+    wall = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run()
+        _sync(out)
+        wall = min(wall, time.perf_counter() - t0)
+    fs, info = out
+    days = float(jnp.sum(fs.t)) / 86400.0
+    return {'model_days_per_sec': days / wall, 'ensemble': n_ensemble,
+            'nz': world.nz, 'conv_method': 'isotonic', 'wall_s': wall,
+            'total_steps': int(jnp.sum(info.steps)),
+            'converged_fraction': float(jnp.mean(info.equilibrium))}
+
+
+def _icy_ebm(ny, nz):
+    from climatemodel_tpu.constants import p_surface_earth
+    from climatemodel_tpu.models.grey import GreyGas
+    return GreyGas(nz=nz, ny=ny, tau_lw_func='scale_height',
+                   tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
+                   albedo=lambda lat: np.where(np.abs(lat) > 60, 0.6, 0.3))
 
 
 def bench_ebm(ny=64, nz=40):
-    from climatemodel_tpu.constants import p_surface_earth
-    from climatemodel_tpu.models.grey import GreyGas, _grey_evolve
-    world = GreyGas(nz=nz, ny=ny, tau_lw_func='scale_height',
-                    tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
-                    albedo=lambda lat: np.where(np.abs(lat) > 60, 0.6, 0.3))
+    world = _icy_ebm(ny, nz)
     world.evolve_to_equilibrium(flux_thresh=1e-3, save=False)  # compile+run
-    world2 = GreyGas(nz=nz, ny=ny, tau_lw_func='scale_height',
-                     tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
-                     albedo=lambda lat: np.where(np.abs(lat) > 60, 0.6, 0.3))
+    world2 = _icy_ebm(ny, nz)
     t0 = time.perf_counter()
     world2.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
     wall = time.perf_counter() - t0
     days = float(world2.state.t) / 86400.0
-    return {'model_days_per_sec': days / wall, 'ny': ny,
-            'steps': int(world2._equilibrium_info.steps), 'wall_s': wall}
+    shared = {'model_days_per_sec': days / wall, 'ny': ny,
+              'steps': int(world2._equilibrium_info.steps), 'wall_s': wall}
+
+    # per-latitude independent-dt ensemble march (models/ensemble.py:65): each
+    # latitude gets its own adaptive-dt controller instead of the reference's
+    # shared dt that drags every column to the slowest one
+    from climatemodel_tpu.models import ensemble
+    world3 = _icy_ebm(ny, nz)
+    states, forcings, p_int, p_c = ensemble.grey_latitude_ensemble(world3)
+    ft = jnp.asarray(1e-3, world3.dtype)
+    run = lambda: ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, use_delta_exit=False)
+    out = run()
+    _sync(out)
+    t0 = time.perf_counter()
+    out = run()
+    _sync(out)
+    wall_e = time.perf_counter() - t0
+    fs, info = out
+    days_e = float(jnp.sum(fs.t)) / 86400.0
+    shared['independent_dt_ensemble'] = {
+        'model_days_per_sec': days_e / wall_e, 'wall_s': wall_e,
+        'total_steps': int(jnp.sum(info.steps)),
+        'converged_fraction': float(jnp.mean(info.equilibrium))}
+    return shared
+
+
+def bench_weak_scaling_cpu(base=8):
+    """Sharded shallow-water weak scaling on the virtual CPU mesh: fixed
+    per-device tile, 1/2/4/8 devices (the only multi-chip evidence this
+    single-chip environment allows; ICI behavior must wait for real hardware).
+    Runs in a subprocess so the TPU-attached parent keeps its backend."""
+    import json as _json
+    import subprocess
+    import sys
+    code = r'''
+import json, time
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from climatemodel_tpu.models.shallow_water import ShallowWater
+from climatemodel_tpu.parallel.halo import ShardedShallowWater
+out = {}
+for n in (1, 2, 4, 8):
+    nx = 32 * n + 2
+    world = ShallowWater(nx=nx, ny=130, dx=100e3, dy=100e3, dt=60.0,
+                         f_0=1e-4, beta=1.6e-11,
+                         initial_info={'type': 'height_gaussian',
+                                       'min_h_surface': 9750.0,
+                                       'max_h_surface': 10750.0,
+                                       'x0': 0.0, 'y0': 0.0,
+                                       'x_std': 1000e3, 'y_std': 1000e3,
+                                       'add_noise': False})
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ('x',))
+    sw = ShardedShallowWater(world, mesh, axis_name='x')
+    sw.run(nt=50)                      # compile + run
+    t0 = time.perf_counter()
+    sw.run(nt=50)
+    wall = time.perf_counter() - t0
+    cells = (nx - 2) * 128
+    out[str(n)] = {'cell_updates_per_sec': cells * 50 / wall,
+                   'wall_s': wall, 'grid': [nx, 130]}
+print(json.dumps(out))
+'''
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    flag = f'--xla_force_host_platform_device_count={base}'
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') + ' ' + flag).strip()
+    try:
+        proc = subprocess.run([sys.executable, '-c', code], env=env,
+                              capture_output=True, text=True, timeout=420,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = proc.stdout.strip().splitlines()[-1]
+        return _json.loads(line)
+    except Exception as e:          # never fail the whole bench on this extra
+        return {'error': str(e)[:200]}
+
+
+_V5E_HBM_GBS = 819.0    # v5e peak HBM bandwidth (public spec), for rooflines
 
 
 def main():
     platform = jax.devices()[0].platform
     extra = {'platform': platform, 'n_devices': len(jax.devices()),
-             'device': str(jax.devices()[0])}
+             'device': str(jax.devices()[0]),
+             'dtype': str(jnp.zeros(0).dtype)}
     extra['grey_rce'] = bench_grey()
     extra['shallow_water'] = bench_sw()
     extra['real_gas'] = bench_real_gas()
     extra['rce_convective'] = bench_rce_conv()
+    extra['rce_convective_ensemble'] = bench_rce_conv_ensemble()
     extra['ebm_ice_albedo'] = bench_ebm()
+    extra['sw_weak_scaling_cpu_mesh'] = bench_weak_scaling_cpu()
+
+    # roofline: minimum HBM traffic of the SW step is 3 reads + 3 writes of
+    # the interior field set (plus the damping field read in the fused
+    # kernel); report the fraction of peak bandwidth that traffic implies so
+    # future rounds can see headroom, not just absolute numbers
+    sw = extra['shallow_water']
+    nxi = sw['grid'][0] - 2
+    nyi = sw['grid'][1] - 2
+    bytes_per_step = 6 * nxi * nyi * 4
+    sw['min_traffic_gbs'] = bytes_per_step / (sw['wall_s'] / sw['steps']) / 1e9
+    sw['roofline_fraction_min_traffic'] = sw['min_traffic_gbs'] / _V5E_HBM_GBS \
+        if platform != 'cpu' else None
 
     grey_days = extra['grey_rce']['model_days_per_sec']
     sw_cups = extra['shallow_water']['cell_updates_per_sec']

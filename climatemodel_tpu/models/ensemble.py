@@ -41,15 +41,21 @@ def grey_ensemble_forcing(world: GreyGas, F_stellar_values) -> GreyForcing:
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
                                              'net_flux_percentile',
-                                             'use_delta_exit'))
+                                             'use_delta_exit', 'conv_method'))
 def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
                          p_interface, p_centre_col, flux_thresh,
                          convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
                          conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                          net_flux_percentile=95, max_steps=500_000,
-                         use_delta_exit=True):
+                         use_delta_exit=True, conv_method='isotonic'):
     """vmapped march-to-equilibrium over a leading ensemble axis of
-    (states, forcings); the pressure grid is shared."""
+    (states, forcings); the pressure grid is shared.
+
+    For convective ensembles the default adjustment is the fully parallel
+    isotonic form: under vmap the faithful group-iteration's data-dependent
+    while_loops run max-trip lock-step across members, so the parallel
+    closed form is the right batched kernel (same physics, see
+    ops/convection.py)."""
     def one(state, forcing):
         net_fn = lambda T: grey_net_flux(T, forcing)
         return column.evolve_to_equilibrium(
@@ -58,7 +64,7 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
             conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
             net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, max_steps=max_steps,
-            use_delta_exit=use_delta_exit)
+            use_delta_exit=use_delta_exit, conv_method=conv_method)
     return jax.vmap(one)(states, forcings)
 
 

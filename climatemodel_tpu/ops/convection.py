@@ -118,8 +118,20 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
         un = unstable_mask(T, ignored)
         starts = un & ~jnp.concatenate([jnp.array([False]), un[:-1]])
         gid = jnp.where(un, jnp.cumsum(starts), 0)  # frozen per sweep
-        T, ignored, _ = lax.fori_loop(1, max_groups + 1, group_body,
-                                      (T, ignored, gid))
+        # iterate only over the groups that exist this sweep (usually 1-3,
+        # vs the nz//2+1 worst case — the fixed-trip fori_loop here was the
+        # dominant per-step cost of convective marches on TPU)
+        n_groups = jnp.minimum(jnp.max(gid), max_groups)
+
+        def g_cond(c):
+            return c[0] <= n_groups
+
+        def g_body(c):
+            gi, inner = c
+            return gi + 1, group_body(gi, inner)
+
+        _, (T, ignored, _) = lax.while_loop(
+            g_cond, g_body, (jnp.asarray(1, gid.dtype), (T, ignored, gid)))
         return T, ignored, it + 1
 
     def outer_cond(carry):
