@@ -142,6 +142,39 @@ def bench_real_gas():
             'nz': gas.nz, 'steps': steps, 'wall_s': wall}
 
 
+def bench_real_gas_earth(n_nu_bands=200):
+    """Earth-scale real-gas column: 4-gas earth-like composition (fabricated
+    standalone tables), nz='auto', 200 Planck-equalised bands — the
+    centa-presentation scale (centa_presentation/script.py:21-24) where the
+    nz x nz packed-band transmission engine is actually stressed."""
+    from climatemodel_tpu.models.real_gas import RealGas, _real_gas_evolve
+    from climatemodel_tpu.spectral import earth_tables
+    earth_tables.ensure_earth_tables()
+    gas = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+                  T_g=265.19, p_toa=0.1, n_nu_bands=n_nu_bands, temp_change=1,
+                  delta_temp_change=0.1)
+    args = (gas.state, jnp.asarray(gas.T_g, gas.dtype), gas.tau_device,
+            gas.band_arrays, gas._F_star_factor,
+            jnp.asarray(gas.nu_bands['delta'], gas.dtype),
+            jnp.asarray(gas.p_interface, gas.dtype),
+            jnp.asarray(gas.p[:, 0], gas.dtype),
+            jnp.asarray(1e-5, gas.dtype))
+    out = _real_gas_evolve(*args, t_end=2.0)
+    _sync(out[0].T)
+    wall = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = _real_gas_evolve(*args, t_end=2.0)
+        _sync(out[0].T)
+        wall = min(wall, time.perf_counter() - t0)
+    steps = int(out[1].steps)
+    days = float(out[0].t) / 86400.0
+    n_lw = int(gas.band_arrays.idx.shape[0])
+    return {'steps_per_sec': steps / wall, 'model_days_per_sec': days / wall,
+            'nz': gas.nz, 'n_nu_bands': n_nu_bands, 'n_lw_bands': n_lw,
+            'steps': steps, 'wall_s': wall, 'ms_per_step': 1e3 * wall / steps}
+
+
 def _thermosphere_world(nz=150):
     # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
     # compiles/runs long enough to trip the axon execution watchdog)
@@ -312,6 +345,7 @@ def main():
     extra['grey_rce'] = bench_grey()
     extra['shallow_water'] = bench_sw()
     extra['real_gas'] = bench_real_gas()
+    extra['real_gas_earth'] = bench_real_gas_earth()
     extra['rce_convective'] = bench_rce_conv()
     extra['rce_convective_ensemble'] = bench_rce_conv_ensemble()
     extra['ebm_ice_albedo'] = bench_ebm()

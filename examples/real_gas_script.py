@@ -1,10 +1,11 @@
 """Real-gas band radiation experiments (reference driver: real_gas_script.py).
 
-The upstream raw HITRAN line lists are not distributed, so the default run uses
-the shipped ``single_line`` toy gas (the reference's own spectroscopy fixture,
-real_gas_script.py:16-25); point CLIMATEMODEL_TPU_LUT_DIR at a folder with
-CO2/CH4/H2O/O3 tables (regenerable with climatemodel_tpu.spectral.hitran
-make_table once line files are supplied) to run the full Earth composition.
+The upstream raw HITRAN line lists are not distributed; the Earth-composition
+run uses the package's fabricated earth-like tables (generated at first boot,
+climatemodel_tpu.spectral.earth_tables) — drop real HITRAN-derived tables into
+CLIMATEMODEL_TPU_LUT_DIR to upgrade it to true spectroscopy.  The default
+animated run uses the ``single_line`` toy gas (the reference's own fixture,
+real_gas_script.py:16-25).
 """
 import os
 
@@ -15,7 +16,7 @@ import matplotlib.pyplot as plt
 
 from climatemodel_tpu.diagnostics.animation import Animate
 from climatemodel_tpu.models.real_gas import RealGas
-from climatemodel_tpu.spectral import humidity
+from climatemodel_tpu.spectral import earth_tables, humidity
 
 OUT = os.path.dirname(__file__)
 conv_adjust = False
@@ -25,9 +26,18 @@ conv_adjust = False
 # hitran.make_single_line_table()          # fabricated toy gas
 # hitran.make_table('CO2', wavenumber_array=np.arange(0, 1505, 10.0))
 
-'''Earth composition (needs molecule tables): real_gas_script.py:43-59'''
-# gas = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
-#               T_g=265.19, p_toa=0.1, temp_change=1, delta_temp_change=0.1)
+'''Earth composition (real_gas_script.py:43-59): fabricated earth-like tables
+are generated on first run; marching the 4-gas column to equilibrium'''
+earth_tables.ensure_earth_tables()
+earth = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+                T_g=265.19, p_toa=0.1, temp_change=1, delta_temp_change=0.1)
+earth.evolve_to_equilibrium(flux_thresh=1.0, save=False, t_end=2.0,
+                            convective_adjust=conv_adjust)
+ax = earth.plot_olr()
+ax.figure.savefig(os.path.join(OUT, 'real_gas_earth_olr.png'), dpi=90)
+print(f'earth column: nz={earth.nz}, '
+      f'bands={len(earth.nu_bands["delta"])}, '
+      f'T surface={earth.T[-1, 0]:.1f} K')
 
 '''Single-line toy gas'''
 gas = RealGas(nz='auto', ny=1, molecule_names=['single_line'], T_g=265.19,
