@@ -109,9 +109,16 @@ def bench_sw(nx=2050, ny=1026, nt=400, solver='richtmyer_pallas',
         _sync(state)
         wall = min(wall, time.perf_counter() - t0)
     cells = (nx - 2) * (ny - 2)
-    return {'cell_updates_per_sec': cells * nt / wall, 'wall_s': wall,
-            'grid': [nx, ny], 'steps': nt, 'solver': solver,
-            'el_nino_forced': el_nino, 'ms_per_step': 1e3 * wall / nt}
+    out = {'cell_updates_per_sec': cells * nt / wall, 'wall_s': wall,
+           'grid': [nx, ny], 'steps': nt, 'solver': solver,
+           'el_nino_forced': el_nino, 'ms_per_step': 1e3 * wall / nt}
+    if el_nino:
+        # the wind-free step (no global Bjerknes reduction) isolates the
+        # fused kernel: report it alongside as the kernel ceiling
+        sub = bench_sw(nx=nx, ny=ny, nt=nt, solver=solver, el_nino=False)
+        out['no_wind_cell_updates_per_sec'] = sub['cell_updates_per_sec']
+        out['no_wind_ms_per_step'] = sub['ms_per_step']
+    return out
 
 
 def bench_real_gas():

@@ -198,51 +198,8 @@ def apply_boundary_conditions(h, u, v, bx='periodic', by='walls'):
     return h, u, v
 
 
-def apply_boundary_conditions_frame(h, u, v, bx, by, nx, ny):
-    """The same boundary conditions on padded-frame fields (interior at
-    (FRAME_ROW0, FRAME_LANE0), see ops/pallas_stencils.py): every index of
-    ``apply_boundary_conditions`` translated to frame coordinates.  Rewrites
-    all four ghost sides, so undefined ghost values coming out of the frame
-    kernel are always cured here before anything reads them."""
-    from ..ops.pallas_stencils import FRAME_LANE0 as L0, FRAME_ROW0 as R0
-    gt, gb = R0 - 1, R0 + nx - 2        # ghost rows (frame indices)
-    r0, rN = R0, R0 + nx - 3            # first / last interior rows
-    gl, gr = L0 - 1, L0 + ny - 2        # ghost cols
-    l0, lN = L0, L0 + ny - 3            # first / last interior cols
-    rows = slice(gt, gb + 1)            # ":" of the unpadded array
-    cols = slice(gl, gr + 1)
-    rows_i = slice(r0, rN + 1)          # "1:-1"
-    cols_i = slice(l0, lN + 1)
-    if bx == 'periodic':
-        def per_x(f):
-            f = f.at[gt, cols_i].set(f[rN, cols_i])
-            f = f.at[gt, gl].set(f[rN, l0])
-            f = f.at[gt, gr].set(f[rN, lN])
-            f = f.at[gb, cols_i].set(f[r0, cols_i])
-            f = f.at[gb, gl].set(f[r0, l0])
-            f = f.at[gb, gr].set(f[r0, lN])
-            return f
-        h, u, v = per_x(h), per_x(u), per_x(v)
-    elif bx == 'walls':
-        u = u.at[gt, cols].set(0.0).at[gb, cols].set(0.0)
-        h = h.at[gt, cols].set(h[r0, cols]).at[gb, cols].set(h[rN, cols])
-        v = v.at[gt, cols].set(v[r0, cols]).at[gb, cols].set(v[rN, cols])
-
-    if by == 'periodic':
-        def per_y(f):
-            f = f.at[rows_i, gl].set(f[rows_i, lN])
-            f = f.at[gt, gl].set(f[r0, lN])
-            f = f.at[gb, gl].set(f[rN, lN])
-            f = f.at[rows_i, gr].set(f[rows_i, l0])
-            f = f.at[gt, gr].set(f[r0, l0])
-            f = f.at[gb, gr].set(f[rN, gr])
-            return f
-        h, u, v = per_y(h), per_y(u), per_y(v)
-    elif by == 'walls':
-        v = v.at[rows, gl].set(0.0).at[rows, gr].set(0.0)
-        h = h.at[rows, gl].set(h[rows, l0]).at[rows, gr].set(h[rows, lN])
-        u = u.at[rows, gl].set(u[rows, l0]).at[rows, gr].set(u[rows, lN])
-    return h, u, v
+# (frame-path boundary conditions live inside the Pallas kernel —
+# ops/pallas_stencils.py writes the final ghost values with the band output)
 
 
 # --------------------------------------------------------------------------
@@ -293,10 +250,11 @@ def atmosphere_wind(params: SWParams, h_bc, t, wind_type, east_mask=None,
 
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
-                                             'flat_orography'))
+                                             'flat_orography',
+                                             'row_geometry'))
 def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
             bx='periodic', by='walls', wind_type=None, target_courant=0.1,
-            flat_orography=False):
+            flat_orography=False, row_geometry=False):
     """One shallow-water time step (shallow_water.py:339-373)."""
     h, u, v = state.h, state.u, state.v
     # CFL control after the first step (shallow_water.py:321-337)
@@ -308,7 +266,8 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
     ok = state.ok & (dt >= 10.0)
 
     if solver == 'richtmyer_pallas':
-        # fused Pallas TPU kernel: one HBM pass per step (ops/pallas_stencils)
+        # fused Pallas TPU kernel: one HBM pass per step including damping and
+        # the abort freeze (ops/pallas_stencils)
         from ..ops.pallas_stencils import richtmyer_step_interior
         interpret = jax.default_backend() != 'tpu'
         # flat orography: skip the two gradient field reads entirely (the
@@ -317,14 +276,24 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
             stencils.centered_diff_x(params.h_base, params.dx)
         dhb_dy = None if flat_orography else \
             stencils.centered_diff_y(params.h_base, params.dy)
-        hi, ui, vi = richtmyer_step_interior(
-            h, u, v, params.f_coriolis[1:-1, 1:-1], dhb_dx, dhb_dy,
-            dt, params.g, params.dx, params.dy, interpret=interpret)
+        hi, ui, vi, _max2 = richtmyer_step_interior(
+            h, u, v, params.f_coriolis[1:-1, 1:-1], params.r[1:-1, 1:-1],
+            dhb_dx, dhb_dy, dt, ok, params.g, params.dx, params.dy,
+            interpret=interpret)
         h_new = h.at[1:-1, 1:-1].set(hi)
         u_new = u.at[1:-1, 1:-1].set(ui)
         v_new = v.at[1:-1, 1:-1].set(vi)
-        return _finish_step(state, params, h, u, v, h_new, u_new, v_new, dt,
-                            ok, bx, by, wind_type)
+        # wind + boundary conditions (damping/freeze already fused; BCs
+        # recompute ghosts from the frozen interior, so the freeze holds)
+        if wind_type is not None:
+            h_for_wind = apply_boundary_conditions(h_new, u_new, v_new,
+                                                   bx, by)[0]
+            wind = atmosphere_wind(params, h_for_wind, state.t, wind_type)
+            u_new = u_new + jnp.where(ok, wind * dt, jnp.zeros_like(dt))
+        h_new, u_new, v_new = apply_boundary_conditions(h_new, u_new, v_new,
+                                                        bx, by)
+        return state.replace(h=h_new, u=u_new, v=v_new, t=state.t + dt,
+                             dt=dt, ok=ok)
     flux_x = make_flux_x(params.g, params.h_mean, linear)
     flux_y = make_flux_y(params.g, params.h_mean, linear)
     source = make_source(params.g, params.f_coriolis, params.h_base,
@@ -367,30 +336,42 @@ def _use_frame_path(state, solver):
     return solver == 'richtmyer_pallas' and frame_supports(*state.h.shape)
 
 
-def _frame_constants(state, params, flat_orography):
-    """Loop-invariant padded-frame inputs, hoisted out of the scan by XLA."""
+def _frame_constants(state, params, flat_orography, row_geometry):
+    """Loop-invariant padded-frame inputs, hoisted out of the scan by XLA.
+
+    ``row_geometry=True`` passes the Coriolis and damping fields as single
+    rows (both are y-only functions in every reference scenario — f = f0 +
+    beta*y, sponge damping varies with |y|), saving two full-field HBM reads
+    per kernel step."""
     from ..ops.pallas_stencils import pad_frame
     dhb_dx = None if flat_orography else \
         stencils.centered_diff_x(params.h_base, params.dx)
     dhb_dy = None if flat_orography else \
         stencils.centered_diff_y(params.h_base, params.dy)
-    return (pad_frame(params.r), pad_frame(params.east_mask),
-            pad_frame(params.west_mask), params.f_coriolis[1:-1, 1:-1],
-            dhb_dx, dhb_dy)
+    if row_geometry:
+        r_int = params.r[1:2, 1:-1]
+        fcor_int = params.f_coriolis[1:2, 1:-1]
+    else:
+        r_int = params.r[1:-1, 1:-1]
+        fcor_int = params.f_coriolis[1:-1, 1:-1]
+    return (r_int, pad_frame(params.east_mask), pad_frame(params.west_mask),
+            fcor_int, dhb_dx, dhb_dy)
 
 
-def sw_step_frame(state: SWState, params: SWParams, extras, bx, by, wind_type,
-                  target_courant, nx, ny):
+def sw_step_frame(state: SWState, max2, params: SWParams, extras, bx, by,
+                  wind_type, target_courant, nx, ny):
     """sw_step on padded-frame state (richtmyer_pallas only): identical
-    arithmetic, zero per-step pad/relayout traffic.  Pad regions of the frame
-    hold undefined values between steps; every reduction below reads only the
-    interior+ghost window and ghost cells are rewritten by the frame BCs."""
-    from ..ops.pallas_stencils import richtmyer_step_frame, unpad_frame
-    r_f, east_f, west_f, fcor_int, dhb_dx, dhb_dy = extras
+    arithmetic, zero per-step pad/relayout traffic.  Damping, abort freeze,
+    boundary conditions and the CFL max-speed statistic are all fused into the
+    kernel; ``max2`` carries max(u^2+v^2) of the current state so the CFL
+    controller (shallow_water.py:321-337) costs no field reads.  Pad regions
+    of the frame hold undefined values between steps; every reduction below
+    reads only the interior window."""
+    from ..ops.pallas_stencils import FRAME_LANE0, FRAME_ROW0, \
+        richtmyer_step_frame
+    r_int, east_f, west_f, fcor_int, dhb_dx, dhb_dy = extras
     h, u, v = state.h, state.u, state.v
-    uw = unpad_frame(u, nx, ny)
-    vw = unpad_frame(v, nx, ny)
-    max_u = jnp.sqrt(jnp.max(uw ** 2 + vw ** 2))
+    max_u = jnp.sqrt(max2)
     dt_cfl = jnp.minimum(params.dt_0,
                          target_courant * jnp.minimum(params.dx, params.dy)
                          / max_u)
@@ -398,46 +379,67 @@ def sw_step_frame(state: SWState, params: SWParams, extras, bx, by, wind_type,
     ok = state.ok & (dt >= 10.0)
 
     interpret = jax.default_backend() != 'tpu'
-    h_new, u_new, v_new = richtmyer_step_frame(
-        h, u, v, fcor_int, dhb_dx, dhb_dy, dt, params.g, params.dx, params.dy,
-        nx, ny, interpret=interpret)
+    h_new, u_new, v_new, max2_k = richtmyer_step_frame(
+        h, u, v, fcor_int, r_int, dhb_dx, dhb_dy, dt, ok, params.g,
+        params.dx, params.dy, nx, ny, bx=bx, by=by, interpret=interpret)
 
-    # damping / wind / BCs / abort freeze (_finish_step in frame coordinates)
-    u_new = u_new - r_f * dt * u
-    v_new = v_new - r_f * dt * v
     if wind_type is not None:
-        h_for_wind = apply_boundary_conditions_frame(h_new, u_new, v_new, bx,
-                                                     by, nx, ny)[0]
-        wind = atmosphere_wind(params, h_for_wind, state.t, wind_type,
+        # kernel outputs are fully boundary-conditioned: the masked means can
+        # read h_new directly (shallow_water.py:364-366 wind after BCs on h)
+        wind = atmosphere_wind(params, h_new, state.t, wind_type,
                                east_mask=east_f, west_mask=west_f)
-        u_new = u_new + wind * dt
-    h_new, u_new, v_new = apply_boundary_conditions_frame(h_new, u_new, v_new,
-                                                          bx, by, nx, ny)
-    h_new = jnp.where(ok, h_new, h)
-    u_new = jnp.where(ok, u_new, u)
-    v_new = jnp.where(ok, v_new, v)
+        u_new = u_new + jnp.where(ok, wind * dt, jnp.zeros_like(dt))
+        gt, gb = FRAME_ROW0 - 1, FRAME_ROW0 + nx - 2
+        if bx == 'walls':
+            # the uniform wind add broke the zero x-wall u ghosts; restore
+            # them (reference order: wind -> BCs, shallow_water.py:364-370)
+            u_new = u_new.at[gt, :].set(0.0).at[gb, :].set(0.0)
+            if by == 'periodic':
+                # per_y corner writes read interior values (wind included)
+                r0, rN = FRAME_ROW0, FRAME_ROW0 + nx - 3
+                l0, lN = FRAME_LANE0, FRAME_LANE0 + ny - 3
+                gl, gr = FRAME_LANE0 - 1, FRAME_LANE0 + ny - 2
+                u_new = u_new.at[gt, gl].set(u_new[r0, lN])
+                u_new = u_new.at[gt, gr].set(u_new[r0, l0])
+                u_new = u_new.at[gb, gl].set(u_new[rN, lN])
+                u_new = u_new.at[gb, gr].set(u_new[rN, l0])
+        # wind changed u: recompute the CFL statistic over the new interior
+        # (ghost values only replicate interior cells or are zero, so the
+        # interior max equals the reference's full-array max)
+        ui = u_new[FRAME_ROW0:FRAME_ROW0 + nx - 2,
+                   FRAME_LANE0:FRAME_LANE0 + ny - 2]
+        vi = v_new[FRAME_ROW0:FRAME_ROW0 + nx - 2,
+                   FRAME_LANE0:FRAME_LANE0 + ny - 2]
+        max2_new = jnp.max(ui * ui + vi * vi)
+    else:
+        max2_new = max2_k
     return state.replace(h=h_new, u=u_new, v=v_new, t=state.t + dt, dt=dt,
-                         ok=ok)
+                         ok=ok), max2_new
 
 
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
-                                             'n_steps', 'flat_orography'))
+                                             'n_steps', 'flat_orography',
+                                             'row_geometry'))
 def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
                 linear=False, bx='periodic', by='walls', wind_type=None,
-                target_courant=0.1, flat_orography=False):
+                target_courant=0.1, flat_orography=False, row_geometry=False):
     """n_steps fused into one lax.scan: the whole run is a single XLA program."""
     if _use_frame_path(state, solver):
         from ..ops.pallas_stencils import pad_frame, unpad_frame
         nx, ny = state.h.shape
-        extras = _frame_constants(state, params, flat_orography)
+        extras = _frame_constants(state, params, flat_orography,
+                                  row_geometry)
+        max2 = jnp.max(state.u ** 2 + state.v ** 2)
         st = state.replace(h=pad_frame(state.h), u=pad_frame(state.u),
                            v=pad_frame(state.v))
 
-        def fbody(st, _):
-            return sw_step_frame(st, params, extras, bx, by, wind_type,
-                                 target_courant, nx, ny), None
-        st, _ = lax.scan(fbody, st, None, length=n_steps)
+        def fbody(carry, _):
+            st, m2 = carry
+            st, m2 = sw_step_frame(st, m2, params, extras, bx, by, wind_type,
+                                   target_courant, nx, ny)
+            return (st, m2), None
+        (st, _), _ = lax.scan(fbody, (st, max2), None, length=n_steps)
         return st.replace(h=unpad_frame(st.h, nx, ny),
                           u=unpad_frame(st.u, nx, ny),
                           v=unpad_frame(st.v, nx, ny))
@@ -445,7 +447,8 @@ def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
     def body(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
                        wind_type=wind_type, target_courant=target_courant,
-                       flat_orography=flat_orography), None
+                       flat_orography=flat_orography,
+                       row_geometry=row_geometry), None
     state, _ = lax.scan(body, state, None, length=n_steps)
     return state
 
@@ -453,30 +456,37 @@ def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
                                              'n_snaps', 'steps_per_snap',
-                                             'flat_orography'))
+                                             'flat_orography', 'row_geometry'))
 def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
                           steps_per_snap, solver='richtmyer', linear=False,
                           bx='periodic', by='walls', wind_type=None,
-                          target_courant=0.1, flat_orography=False):
+                          target_courant=0.1, flat_orography=False,
+                          row_geometry=False):
     """Run n_snaps * steps_per_snap steps, stacking (t, h, u, v) snapshots every
     steps_per_snap steps — the scan-native replacement of data_dict appends."""
     if _use_frame_path(state, solver):
         from ..ops.pallas_stencils import pad_frame, unpad_frame
         nx, ny = state.h.shape
-        extras = _frame_constants(state, params, flat_orography)
+        extras = _frame_constants(state, params, flat_orography,
+                                  row_geometry)
+        max2 = jnp.max(state.u ** 2 + state.v ** 2)
         st0 = state.replace(h=pad_frame(state.h), u=pad_frame(state.u),
                             v=pad_frame(state.v))
 
-        def finner(st, _):
-            return sw_step_frame(st, params, extras, bx, by, wind_type,
-                                 target_courant, nx, ny), None
+        def finner(carry, _):
+            st, m2 = carry
+            st, m2 = sw_step_frame(st, m2, params, extras, bx, by, wind_type,
+                                   target_courant, nx, ny)
+            return (st, m2), None
 
-        def fouter(st, _):
-            st, _ = lax.scan(finner, st, None, length=steps_per_snap)
-            return st, (st.t, unpad_frame(st.h, nx, ny),
-                        unpad_frame(st.u, nx, ny), unpad_frame(st.v, nx, ny))
+        def fouter(carry, _):
+            carry, _ = lax.scan(finner, carry, None, length=steps_per_snap)
+            st = carry[0]
+            return carry, (st.t, unpad_frame(st.h, nx, ny),
+                           unpad_frame(st.u, nx, ny),
+                           unpad_frame(st.v, nx, ny))
 
-        st, snaps = lax.scan(fouter, st0, None, length=n_snaps)
+        (st, _), snaps = lax.scan(fouter, (st0, max2), None, length=n_snaps)
         st = st.replace(h=unpad_frame(st.h, nx, ny),
                         u=unpad_frame(st.u, nx, ny),
                         v=unpad_frame(st.v, nx, ny))
@@ -485,7 +495,8 @@ def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
     def inner(st, _):
         return sw_step(st, params, solver=solver, linear=linear, bx=bx, by=by,
                        wind_type=wind_type, target_courant=target_courant,
-                       flat_orography=flat_orography), None
+                       flat_orography=flat_orography,
+                       row_geometry=row_geometry), None
 
     def outer(st, _):
         st, _ = lax.scan(inner, st, None, length=steps_per_snap)
@@ -511,12 +522,21 @@ class ShallowWater:
         self.dt_0 = float(dt)
         self.g = float(g)
         self.linear = bool(linear)
-        self.numerical_solver = numerical_solver
         if numerical_solver not in tuple(stencils.SCHEMES) + ('richtmyer_pallas',):
             raise ValueError(f'unknown solver {numerical_solver!r}')
         if numerical_solver == 'richtmyer_pallas' and linear:
             raise ValueError('richtmyer_pallas supports the nonlinear '
                              'equations only')
+        if numerical_solver == 'richtmyer_pallas':
+            from ..ops.pallas_stencils import supports as _pallas_supports
+            if not _pallas_supports(int(nx), int(ny)):
+                import warnings
+                warnings.warn(
+                    f'grid ({nx}, {ny}) has no multiple-of-8 interior row '
+                    'divisor for the Pallas kernel; falling back to the jnp '
+                    'richtmyer solver')
+                numerical_solver = 'richtmyer'
+        self.numerical_solver = numerical_solver
         self.orography_info = orography_info
         self.initial_info = initial_info
         if boundary_type is None:
@@ -756,10 +776,19 @@ class ShallowWater:
         return float(self._state.dt)
 
     def _step_kwargs(self, target_courant=0.1):
+        # the Coriolis and damping fields are y-only functions in every
+        # reference scenario; when exactly row-constant the frame kernel
+        # reads them as single rows (two full-field HBM reads saved per step)
+        row_geometry = bool(
+            np.array_equal(self.r, np.broadcast_to(self.r[:1], self.r.shape))
+            and np.array_equal(self.f_coriolis,
+                               np.broadcast_to(self.f_coriolis[:1],
+                                               self.f_coriolis.shape)))
         return dict(solver=self.numerical_solver, linear=self.linear,
                     bx=self.boundary_type['x'], by=self.boundary_type['y'],
                     wind_type=self.wind_type, target_courant=target_courant,
-                    flat_orography=self.orography_info['type'] == 'flat')
+                    flat_orography=self.orography_info['type'] == 'flat',
+                    row_geometry=row_geometry)
 
     def boundary_conditions(self, h, u, v):
         """Reference-parity helper (shallow_water.py:393-444)."""
