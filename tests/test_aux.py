@@ -31,6 +31,33 @@ def test_checkpoint_roundtrip_grey(tmp_path):
     np.testing.assert_allclose(w.T, w2.T, rtol=1e-12)
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax backend: directory checkpoint, async save, sharded restore."""
+    pytest.importorskip('orbax.checkpoint')
+    from climatemodel_tpu.utils.checkpoint import wait_for_saves
+    w = GreyGas(nz=25, ny=2, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    w.take_time_step(0.0)
+    save_pytree(tmp_path / 'grey_ocp', w.state, backend='orbax',
+                async_save=True)
+    wait_for_saves()
+    w2 = GreyGas(nz=25, ny=2, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    restored = load_pytree(tmp_path / 'grey_ocp', w2.state, backend='orbax')
+    np.testing.assert_array_equal(np.asarray(restored.T), w.T)
+    assert float(restored.t) == float(w.state.t)
+    # restore honours the template's sharding: place the live state on an
+    # explicit device sharding and round-trip it
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ('d',))
+    sh = NamedSharding(mesh, P())
+    sharded = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sh), w2.state)
+    save_pytree(tmp_path / 'grey_sharded', sharded, backend='orbax')
+    back = load_pytree(tmp_path / 'grey_sharded', sharded, backend='orbax')
+    np.testing.assert_array_equal(np.asarray(back.T), np.asarray(sharded.T))
+
+
 def test_checkpoint_roundtrip_shallow_water(tmp_path):
     kw = dict(nx=20, ny=14, dx=1e5, dy=1e5, dt=60.0, f_0=1e-4, beta=0.0,
               initial_info={'type': 'height_gaussian', 'min_h_surface': 9750.0,
