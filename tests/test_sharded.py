@@ -116,3 +116,48 @@ def test_sharded_2d_el_nino_matches_single_device():
     ShardedShallowWater2D(world, mesh).run(nt=25)
     np.testing.assert_allclose(world.h, ref.h, rtol=1e-11, atol=1e-11)
     np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# level-axis pipeline scan (pp analogue)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('reverse', [False, True])
+def test_sharded_affine_scan_matches_single_device(reverse):
+    from climatemodel_tpu.ops.two_stream import affine_scan
+    from climatemodel_tpu.parallel.level_scan import sharded_affine_scan
+    rng = np.random.default_rng(0)
+    n, trail = 64, 3
+    a = jax.numpy.asarray(rng.uniform(0.5, 1.5, (n, trail)))
+    b = jax.numpy.asarray(rng.normal(size=(n, trail)))
+    x0 = jax.numpy.asarray(rng.normal(size=(trail,)))
+    mesh = make_mesh(('lev',), devices=jax.devices()[:8])
+    got = sharded_affine_scan(a, b, x0, mesh, 'lev', reverse=reverse)
+    want = affine_scan(a, b, x0, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_lw_flux_level_sharded_matches_two_stream():
+    from climatemodel_tpu.ops.two_stream import lw_flux
+    from climatemodel_tpu.parallel.level_scan import lw_flux_level_sharded
+    rng = np.random.default_rng(1)
+    n_lev = 48
+    T = jax.numpy.asarray(200.0 + 100.0 * rng.random((n_lev, 2)))
+    dtau = jax.numpy.asarray(0.2 * rng.random((n_lev, 2)))
+    toa = jax.numpy.asarray(rng.uniform(200.0, 300.0, (2,)))
+    mesh = make_mesh(('lev',), devices=jax.devices()[:8])
+    up_s, down_s = lw_flux_level_sharded(T, dtau, toa, mesh, 'lev')
+    up, down = lw_flux(T, dtau, toa)
+    np.testing.assert_allclose(np.asarray(up_s), np.asarray(up),
+                               rtol=1e-11, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(down_s), np.asarray(down),
+                               rtol=1e-11, atol=1e-9)
+
+
+def test_sharded_affine_scan_rejects_uneven_levels():
+    from climatemodel_tpu.parallel.level_scan import sharded_affine_scan
+    mesh = make_mesh(('lev',), devices=jax.devices()[:8])
+    a = jax.numpy.ones((10, 1))
+    with pytest.raises(ValueError, match='not divisible'):
+        sharded_affine_scan(a, a, jax.numpy.ones((1,)), mesh, 'lev')
