@@ -370,6 +370,25 @@ def main():
     sw['roofline_fraction_min_traffic'] = sw['min_traffic_gbs'] / _V5E_HBM_GBS \
         if platform != 'cpu' else None
 
+    # real-gas earth roofline: the cached march's per-step traffic is
+    # dominated by the two packed-band einsum tensors M_up/M_down
+    # (~2 * n_lw_bands * nz^2 f32 reads, models/real_gas.py:127-132)
+    rge = extra['real_gas_earth']
+    if 'error' not in rge:
+        b = 2 * rge['n_lw_bands'] * rge['nz'] ** 2 * 4
+        rge['min_traffic_gbs'] = b * rge['steps_per_sec'] / 1e9
+        rge['roofline_fraction_min_traffic'] = \
+            rge['min_traffic_gbs'] / _V5E_HBM_GBS if platform != 'cpu' else None
+
+    # grey ensemble roofline: ~8 member-column-sized arrays touched per
+    # adaptive step (T r/w, scan coefficients, up/down fluxes, net flux,
+    # controller state) — a deliberately rough lower bound
+    g = extra['grey_rce']
+    gb = 8 * g['nz'] * 4 * g['total_steps'] / g['wall_s'] / 1e9
+    g['min_traffic_gbs'] = gb
+    g['roofline_fraction_min_traffic'] = \
+        gb / _V5E_HBM_GBS if platform != 'cpu' else None
+
     grey_days = extra['grey_rce']['model_days_per_sec']
     sw_cups = extra['shallow_water']['cell_updates_per_sec']
     extra['north_star_ratio'] = {'grey': grey_days / 1e4, 'sw': sw_cups / 1e9}
