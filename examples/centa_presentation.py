@@ -10,6 +10,10 @@ its gases with the framework's table generator: the surviving CO2_no_sw table
 plays the GHG and a generated broadband 'continuum' gas plays H2O.
 """
 import os
+import sys
+
+# allow running from any cwd without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 import matplotlib

@@ -5,6 +5,10 @@ world and the ice-albedo stellar sweep run by default.  Run with MPLBACKEND=Agg
 for headless use; animations/figures are saved next to this script.
 """
 import os
+import sys
+
+# allow running from any cwd without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import matplotlib
 if os.environ.get('DISPLAY', '') == '':

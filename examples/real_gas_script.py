@@ -8,6 +8,10 @@ animated run uses the ``single_line`` toy gas (the reference's own fixture,
 real_gas_script.py:16-25).
 """
 import os
+import sys
+
+# allow running from any cwd without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import matplotlib
 if os.environ.get('DISPLAY', '') == '':

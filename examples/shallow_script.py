@@ -5,6 +5,10 @@ El Nino runs by default.  The whole run executes as fused lax.scan programs on
 the accelerator.
 """
 import os
+import sys
+
+# allow running from any cwd without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import matplotlib
 if os.environ.get('DISPLAY', '') == '':

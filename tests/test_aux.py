@@ -266,3 +266,29 @@ def test_albedo_ramp_guard():
     with pytest.raises(RuntimeError, match='albedo ramp did not converge'):
         fb.update_albedo(delta_albedo=0.1, delta_net_flux_thresh=1e-2,
                          max_ramp_iterations=3)
+
+
+def test_cli_grey_and_shallow(tmp_path, capsys):
+    from climatemodel_tpu.cli import main
+    main(['grey', '--world', 'scale_height', '--nz', '25',
+          '--flux-thresh', '1e-1',
+          '--out', str(tmp_path / 'grey_state')])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith('{')][0]
+    import json
+    rec = json.loads(line)
+    assert rec['nz'] == 25 and rec['steps'] > 0
+    assert 150 < rec['T_surface'] < 400
+    assert (tmp_path / 'grey_state.npz').exists()
+
+    main(['shallow', '--scenario', 'gravity_wave', '--n-days', '0.05'])
+    out = capsys.readouterr().out
+    rec = json.loads([l for l in out.splitlines() if l.startswith('{')][0])
+    assert rec['scenario'] == 'gravity_wave' and rec['final_t_days'] > 0
+
+
+def test_cli_scenario_registry_complete():
+    from climatemodel_tpu.cli import SHALLOW_SCENARIOS, shallow_scenario
+    for name in SHALLOW_SCENARIOS:
+        kw, run = shallow_scenario(name)
+        assert 'initial_info' in kw and run['n_days'] > 0
