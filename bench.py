@@ -232,7 +232,7 @@ def bench_rce_conv_ensemble(n_ensemble=512):
     out = run()
     _sync(out)
     wall = float('inf')
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = run()
         _sync(out)
@@ -275,10 +275,12 @@ def bench_ebm(ny=64, nz=40):
                                                 ft, use_delta_exit=False)
     out = run()
     _sync(out)
-    t0 = time.perf_counter()
-    out = run()
-    _sync(out)
-    wall_e = time.perf_counter() - t0
+    wall_e = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        _sync(out)
+        wall_e = min(wall_e, time.perf_counter() - t0)
     fs, info = out
     days_e = float(jnp.sum(fs.t)) / 86400.0
     shared['independent_dt_ensemble'] = {

@@ -130,26 +130,39 @@ SHALLOW_SCENARIOS = ('geostrophic_adjustment', 'gravity_wave', 'tsunami',
                      'rossby_mountain_waves', 'equatorial_waves',
                      'kelvin_wave', 'el_nino')
 
-# grey-gas world presets (radiation_script.py:15-36 experiment blocks)
-GREY_WORLDS = {
-    'thermosphere': dict(
-        tau_lw_func='scale_height_and_peak_in_atmosphere',
-        tau_lw_func_args=[51000, 4, 100, 600, 0.1],
-        tau_sw_func='scale_height_and_peak_in_atmosphere',
-        tau_sw_func_args=[101320.0, 0.12, 100, 20, 0.002]),
-    'mesosphere': dict(
-        tau_lw_func='scale_height', tau_lw_func_args=[22291.0, 4.0],
-        tau_sw_func='peak_in_atmosphere',
-        tau_sw_func_args=[0.12, 100.0, 20.0]),
-    'stratosphere': dict(
-        tau_lw_func='scale_height', tau_lw_func_args=[22291.0, 4.0],
-        tau_sw_func='peak_in_atmosphere', tau_sw_func_args=[0.12, 100.0, 1.0]),
-    'analytic_sw': dict(
-        tau_lw_func='exponential', tau_lw_func_args=[4.0, 2.0],
-        tau_sw_func='exponential', tau_sw_func_args=[0.12, 1.0]),
-    'scale_height': dict(
-        tau_lw_func='scale_height', tau_lw_func_args=[22291.0, 4.0]),
-}
+GREY_WORLDS = ('thermosphere', 'mesosphere', 'stratosphere', 'analytic_sw',
+               'scale_height')
+
+
+def grey_world_kwargs(name):
+    """GreyGas kwargs for each radiation_script.py experiment block."""
+    from .constants import p_surface_earth
+    if name == 'thermosphere':          # radiation_script.py:32-36
+        return dict(tau_lw_func='scale_height_and_peak_in_atmosphere',
+                    tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                    tau_sw_func='scale_height_and_peak_in_atmosphere',
+                    tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002])
+    if name == 'mesosphere':            # radiation_script.py:27-31
+        return dict(tau_lw_func='scale_height_and_peak_in_atmosphere',
+                    tau_lw_func_args=[50000, 4, 1000, 600, 0.3],
+                    tau_sw_func='peak_in_atmosphere',
+                    tau_sw_func_args=[10000, 2000, 0.05])
+    if name == 'stratosphere':          # radiation_script.py:23-26
+        return dict(tau_lw_func='exponential', tau_lw_func_args=[100000, 4],
+                    tau_sw_func='peak_in_atmosphere',
+                    tau_sw_func_args=[30000, 2000, 0.5])
+    if name == 'analytic_sw':           # radiation_script.py:15-22
+        from .ops import optical_depth as od
+        alpha_sw = od.get_exponential_alpha(100000) / 5
+        return dict(tau_lw_func='exponential', tau_lw_func_args=[100000, 4],
+                    tau_sw_func='exponential',
+                    tau_sw_func_args=[od.get_exponential_p_width(alpha_sw),
+                                      0.6])
+    if name == 'scale_height':          # radiation_script.py:159-163
+        return dict(tau_lw_func='scale_height',
+                    tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    raise SystemExit(f'unknown grey world {name!r}; choose from '
+                     f'{sorted(GREY_WORLDS)}')
 
 
 def _add_common(p):
@@ -168,7 +181,7 @@ def _save_state(args, world):
 
 def _cmd_grey(args):
     from .models.grey import GreyGas
-    kw = dict(GREY_WORLDS[args.world])
+    kw = grey_world_kwargs(args.world)
     world = GreyGas(nz='auto' if args.nz == 'auto' else int(args.nz),
                     ny=args.ny, **kw)
     world.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
@@ -260,6 +273,7 @@ def _cmd_shallow(args):
 
 
 def _cmd_ice_albedo(args):
+    from .constants import p_surface_earth
     from .models.ice_albedo import GreyAlbedoFeedback
     import numpy as np
     sweep = GreyAlbedoFeedback(
@@ -267,7 +281,8 @@ def _cmd_ice_albedo(args):
         stellar_constant_values=np.linspace(args.f_min, args.f_max,
                                             args.n_values),
         nz=args.nz, ny=args.ny,
-        tau_lw_func='scale_height', tau_lw_func_args=[22291.0, 4.0])
+        tau_lw_func='scale_height',
+        tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
     _, ice_latitude, T_surface = sweep.run(
         delta_net_flux_thresh=args.flux_thresh)
     print(json.dumps({

@@ -85,7 +85,9 @@ def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_c
     return state, delta, (up_lw, down_lw, up_sw, down_sw)
 
 
-@functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
+# max_steps stays dynamic (it's only compared in the while cond): the chunked
+# march passes a growing i0+chunk_steps and must not retrace per chunk
+@functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
                                              'conv_method', 'final_reset'))
 def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,

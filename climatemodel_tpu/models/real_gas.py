@@ -199,7 +199,9 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
     'ref_level',))(tr.band_attenuation)
 
 
-@functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
+# max_steps stays dynamic (it's only compared in the while cond): the chunked
+# march passes a growing i0+chunk_steps and must not retrace per chunk
+@functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
                                              'conv_method', 'final_reset'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
@@ -617,8 +619,8 @@ class RealGas:
                     self._state, *args, ft, n_snaps=chunk,
                     convective_adjust=convective_adjust, t_end=t_end_chunk,
                     conv_thresh=conv_thresh,
-                    conv_t_multiplier=conv_t_multiplier, i0=i0,
-                    with_fluxes=with_fluxes)
+                    conv_t_multiplier=conv_t_multiplier,
+                    conv_method=conv_method, i0=i0, with_fluxes=with_fluxes)
                 info_np, snaps_np = jax.device_get((info, snaps))
                 steps = np.asarray(snaps_np['steps'])
                 prev = i0

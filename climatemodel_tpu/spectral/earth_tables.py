@@ -31,6 +31,7 @@ tables.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -62,7 +63,9 @@ _BANDS = {
 def fabricate_molecule_lines(name, seed=0):
     """Deterministic synthetic line list dict (the make_table dict pathway,
     hitran.py:328-330) with HITRAN-native strength units."""
-    rng = np.random.default_rng(abs(hash((name, seed))) % (2 ** 31))
+    # crc32, not hash(): str hashes are randomized per process and would make
+    # "byte-identical regeneration" false across runs/machines
+    rng = np.random.default_rng(zlib.crc32(f'{name}:{seed}'.encode()))
     nu, sw, gamma, n_air = [], [], [], []
     for centre, width, n, peak in _BANDS[name]:
         x = rng.uniform(-1.0, 1.0, n)

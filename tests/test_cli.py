@@ -1,0 +1,83 @@
+"""CLI layer: preset registries must transcribe the reference experiment
+blocks exactly, and every preset must construct a physical world."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from climatemodel_tpu import cli
+
+
+@pytest.mark.parametrize('world', cli.GREY_WORLDS)
+def test_grey_world_presets_construct(world):
+    """Every radiation_script.py experiment block builds a GreyGas with an
+    earth-like grid and the block's surface optical depth (the args must land
+    in the right parameter slots — p_widths in Pa, taus dimensionless)."""
+    from climatemodel_tpu.models.grey import GreyGas
+    kw = cli.grey_world_kwargs(world)
+    g = GreyGas(nz='auto', ny=1, **kw)
+    assert 100 < g.nz < 2000
+    # all blocks use tau_lw_surface=4; the auto grid resolves it to ~4
+    assert 3.0 < float(np.max(g.tau[0])) < 5.0
+    if kw.get('tau_sw_func') is not None:
+        assert np.isfinite(np.asarray(g.tau_sw)).all()
+
+
+def test_grey_world_args_match_reference_blocks():
+    """Spot-check the transcriptions against /root/reference/
+    radiation_script.py:15-36 (args in the reference's order)."""
+    from climatemodel_tpu.constants import p_surface_earth
+    th = cli.grey_world_kwargs('thermosphere')
+    assert th['tau_lw_func_args'] == [51000, 4, 100, 600, 0.1]
+    assert th['tau_sw_func_args'] == [p_surface_earth, 0.12, 100, 20, 0.002]
+    me = cli.grey_world_kwargs('mesosphere')
+    assert me['tau_lw_func'] == 'scale_height_and_peak_in_atmosphere'
+    assert me['tau_sw_func_args'] == [10000, 2000, 0.05]
+    st = cli.grey_world_kwargs('stratosphere')
+    assert st['tau_lw_func'] == 'exponential'
+    assert st['tau_sw_func_args'] == [30000, 2000, 0.5]
+    an = cli.grey_world_kwargs('analytic_sw')
+    # alpha ratio lw/sw must be the integer 5 for the analytic solution
+    from climatemodel_tpu.ops import optical_depth as od
+    alpha_lw = od.get_exponential_alpha(an['tau_lw_func_args'][0])
+    alpha_sw = od.get_exponential_alpha(an['tau_sw_func_args'][0])
+    assert alpha_lw / alpha_sw == pytest.approx(5.0)
+
+
+@pytest.mark.parametrize('scenario', cli.SHALLOW_SCENARIOS)
+def test_shallow_scenarios_construct(scenario):
+    from climatemodel_tpu.models.shallow_water import ShallowWater
+    kw, run = cli.shallow_scenario(scenario)
+    world = ShallowWater(**kw)
+    assert np.isfinite(np.asarray(world.h)).all()
+    assert run['n_days'] > 0
+
+
+def test_main_module_importable():
+    """`import climatemodel_tpu.__main__` must not execute the CLI
+    (no SystemExit at import time)."""
+    code = ('import importlib; '
+            'importlib.import_module("climatemodel_tpu.__main__"); '
+            'print("import-ok")')
+    out = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                         text=True)
+    assert out.returncode == 0, out.stderr
+    assert 'import-ok' in out.stdout
+
+
+def test_cli_grey_end_to_end(tmp_path):
+    """One fast end-to-end CLI march (small fixed grid, loose threshold)."""
+    argv = ['grey', '--world', 'scale_height', '--nz', '40',
+            '--flux-thresh', '5.0']
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(argv)
+    rec = json.loads(buf.getvalue().splitlines()[-1])
+    assert rec['world'] == 'scale_height'
+    assert rec['nz'] == 40
+    assert rec['steps'] > 0
+    assert np.isfinite(rec['T_surface'])
