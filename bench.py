@@ -165,7 +165,7 @@ def bench_real_gas_earth(n_nu_bands=200):
             jnp.asarray(gas.nu_bands['delta'], gas.dtype),
             jnp.asarray(gas.p_interface, gas.dtype),
             jnp.asarray(gas.p[:, 0], gas.dtype),
-            jnp.asarray(1e-5, gas.dtype))
+            jnp.asarray(1e-3, gas.dtype))      # the reference's flux_thresh
     out = _real_gas_evolve(*args, t_end=2.0)
     _sync(out[0].T)
     wall = float('inf')
@@ -179,7 +179,46 @@ def bench_real_gas_earth(n_nu_bands=200):
     n_lw = int(gas.band_arrays.idx.shape[0])
     return {'steps_per_sec': steps / wall, 'model_days_per_sec': days / wall,
             'nz': gas.nz, 'n_nu_bands': n_nu_bands, 'n_lw_bands': n_lw,
-            'steps': steps, 'wall_s': wall, 'ms_per_step': 1e3 * wall / steps}
+            'steps': steps, 'wall_s': wall, 'ms_per_step': 1e3 * wall / steps,
+            # the throughput number is only meaningful for a healthy march
+            'equilibrium': bool(out[1].equilibrium),
+            'failed': bool(out[1].failed), 'nan': bool(out[1].nan)}
+
+
+def bench_real_gas_earth_ensemble(n_ensemble=64, n_nu_bands=200):
+    """Vmapped earth-composition ensemble: members share one composition (one
+    TransmissionCache, hoisted outside the vmap) and sweep the insolation
+    scale — the arctic-amplification workload.  Batching turns the per-step
+    flux GEMV into one batched GEMM whose second dimension is the member axis
+    (MXU work), so aggregate throughput should far exceed the single column."""
+    from climatemodel_tpu.models import ensemble
+    from climatemodel_tpu.models.real_gas import RealGas
+    from climatemodel_tpu.spectral import earth_tables
+    earth_tables.ensure_earth_tables()
+    gas = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+                  T_g=265.19, p_toa=0.1, n_nu_bands=n_nu_bands, temp_change=1,
+                  delta_temp_change=0.1)
+    scales = np.linspace(0.85, 1.15, n_ensemble)
+    states, sc, T_gs, args = ensemble.real_gas_ensemble(gas, F_scales=scales)
+    ft = jnp.asarray(1e-3, gas.dtype)
+    run = lambda: ensemble.real_gas_evolve_ensemble(
+        states, sc, T_gs, *args, ft, t_end=2.0, max_steps=5000)
+    out = run()
+    _sync(out)
+    wall = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        _sync(out)
+        wall = min(wall, time.perf_counter() - t0)
+    fs, info = out
+    days = float(jnp.sum(fs.t)) / 86400.0
+    steps = int(jnp.sum(info.steps))
+    return {'model_days_per_sec': days / wall, 'ensemble': n_ensemble,
+            'nz': gas.nz, 'n_nu_bands': n_nu_bands, 'wall_s': wall,
+            'total_steps': steps, 'member_steps_per_sec': steps / wall,
+            'converged_fraction': float(jnp.mean(info.equilibrium)),
+            'failed_fraction': float(jnp.mean(info.failed))}
 
 
 def _thermosphere_world(nz=150):
@@ -355,6 +394,7 @@ def main():
     extra['shallow_water'] = bench_sw()
     extra['real_gas'] = bench_real_gas()
     extra['real_gas_earth'] = bench_real_gas_earth()
+    extra['real_gas_earth_ensemble'] = bench_real_gas_earth_ensemble()
     extra['rce_convective'] = bench_rce_conv()
     extra['rce_convective_ensemble'] = bench_rce_conv_ensemble()
     extra['ebm_ice_albedo'] = bench_ebm()

@@ -103,6 +103,66 @@ def grey_latitude_ensemble(world: GreyGas):
     return states, forcings, p_int, p_c
 
 
+@functools.partial(jax.jit, static_argnames=('convective_adjust',
+                                             'use_delta_exit', 'conv_method',
+                                             'max_steps'))
+def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
+                             tau_interface, ba, F_star_factor, delta,
+                             p_interface, p_centre_col, flux_thresh,
+                             convective_adjust=False, t_end=4.0,
+                             conv_thresh=1e-5, conv_t_multiplier=5.0,
+                             max_steps=500_000, use_delta_exit=True,
+                             conv_method='isotonic'):
+    """vmapped real-gas march over a leading ensemble axis.
+
+    Members share one composition: the tau-dependent TransmissionCache is
+    precomputed ONCE outside the vmap, so the per-step flux — a GEMV against
+    the [L, nz, nz-1] operators for a single column — becomes a batched GEMM
+    with the member axis as the second matmul dimension (MXU work instead of
+    HBM-bound matrix streaming).  Per member: insolation scale ``F_scales``
+    and ground temperature ``T_gs`` (the stellar-sweep / arctic-amplification
+    workloads, centa_presentation/script.py:40-74).
+    """
+    from .real_gas import precompute_transmission, real_gas_fluxes_cached
+    cache = precompute_transmission(tau_interface, ba)
+
+    def one(state, scale, T_g):
+        def net_fn(T):
+            up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
+                                              F_star_factor * scale)
+            return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
+        return column.evolve_to_equilibrium(
+            state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
+            convective_adjust=convective_adjust, t_end=t_end,
+            conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
+            max_steps=max_steps, p_descending=False,
+            use_delta_exit=use_delta_exit, conv_method=conv_method)
+    return jax.vmap(one)(states, F_scales, T_gs)
+
+
+def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
+    """Batched (states, scales, T_gs, march args) from a template RealGas.
+
+    Each member starts from its own isothermal T_g profile (the reference's
+    per-world initialisation, real_gas.py:296-299); composition — and hence
+    the transmission cache — is shared.
+    """
+    n = len(F_scales) if F_scales is not None else len(T_g_values)
+    states = broadcast_state(gas.state, n)
+    scales = jnp.asarray(np.ones(n) if F_scales is None else
+                         np.asarray(F_scales, np.float64), gas.dtype)
+    T_gs = jnp.asarray(np.full(n, gas.T_g) if T_g_values is None else
+                       np.asarray(T_g_values, np.float64), gas.dtype)
+    T0 = jnp.broadcast_to(T_gs[:, None, None], (n,) + gas.T.shape)
+    states = states.replace(T=jnp.asarray(T0, gas.dtype),
+                            net_flux=jnp.zeros_like(states.net_flux))
+    args = (gas.tau_device, gas.band_arrays, gas._F_star_factor,
+            jnp.asarray(gas.nu_bands['delta'], gas.dtype),
+            jnp.asarray(gas.p_interface, gas.dtype),
+            jnp.asarray(gas.p[:, 0], gas.dtype))
+    return states, scales, T_gs, args
+
+
 def grey_ensemble(world: GreyGas, F_stellar_values):
     """Convenience: batched (states, forcings, grids) from a template world."""
     from ..constants import sigma

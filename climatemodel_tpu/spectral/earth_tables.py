@@ -128,8 +128,12 @@ def write_uv_fixtures(folder=None, overwrite=False):
         nu = np.arange(28901.0, 28901.0 + 1199.0)            # N = 1199
         # rising-baseline gaussian hump: the left tail must dip below the
         # final value so the symmetric-peak extrapolation of hitran.py:278-286
-        # finds its anchor
-        vals = 1.2e-17 * np.exp(-0.5 * ((nu - 29800.0) / 300.0) ** 2) + 1e-22
+        # finds its anchor.  Magnitude is Huggins-band-like (~5e-20 cm^2 at
+        # 330-345 nm): the Hartley peak value (1e-17) at these wavenumbers
+        # would absorb ~100x the real near-UV heating and drive the micro-mass
+        # TOA levels (p_toa = 0.1 Pa) into a >1500 K runaway the fabricated
+        # LW opacity cannot re-emit
+        vals = 5e-20 * np.exp(-0.5 * ((nu - 29800.0) / 300.0) ** 2) + 1e-23
         _write_xsc(o3_path, 'O3', 28901.0, vals)
     cfc_path = os.path.join(folder, 'CFC12.xsc')
     if overwrite or not os.path.isfile(cfc_path):

@@ -114,6 +114,34 @@ def test_grey_ensemble_members_independent():
     assert np.asarray(out_states.T[0]).mean() < np.asarray(out_states.T[1]).mean()
 
 
+def test_real_gas_ensemble_member_matches_solo():
+    """A vmapped real-gas member with scale=1 and the template T_g follows the
+    identical trajectory to the solo march (shared transmission cache, own
+    adaptive-dt controller per member)."""
+    from climatemodel_tpu.models import ensemble
+    from climatemodel_tpu.models.real_gas import RealGas
+    from climatemodel_tpu.spectral import humidity
+
+    def make():
+        return RealGas(nz=30, ny=1, molecule_names=['single_line'],
+                       T_g=260.0, q_funcs={'single_line': humidity.co2},
+                       q_funcs_args={'single_line': ()},
+                       delta_temp_change=0.1)
+
+    gas = make()
+    states, scales, T_gs, args = ensemble.real_gas_ensemble(
+        gas, F_scales=[1.0, 1.15], T_g_values=[gas.T_g, gas.T_g + 10.0])
+    out_states, info = ensemble.real_gas_evolve_ensemble(
+        states, scales, T_gs, *args, jnp.asarray(1e-3, gas.dtype),
+        max_steps=20_000)
+    assert bool(info.equilibrium.all())
+    solo = make()
+    solo.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    np.testing.assert_allclose(np.asarray(out_states.T[0]), solo.T, atol=1e-8)
+    # the brighter-star, warmer-ground member equilibrates hotter
+    assert np.asarray(out_states.T[1]).mean() > np.asarray(out_states.T[0]).mean()
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
