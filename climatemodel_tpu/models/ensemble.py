@@ -105,28 +105,38 @@ def grey_latitude_ensemble(world: GreyGas):
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'use_delta_exit', 'conv_method',
-                                             'max_steps'))
+                                             'max_steps', 'stacked_tau'))
 def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
                              tau_interface, ba, F_star_factor, delta,
                              p_interface, p_centre_col, flux_thresh,
                              convective_adjust=False, t_end=4.0,
                              conv_thresh=1e-5, conv_t_multiplier=5.0,
                              max_steps=500_000, use_delta_exit=True,
-                             conv_method='isotonic'):
+                             conv_method='isotonic', stacked_tau=False):
     """vmapped real-gas march over a leading ensemble axis.
 
-    Members share one composition: the tau-dependent TransmissionCache is
-    precomputed ONCE outside the vmap, so the per-step flux — a GEMV against
-    the [L, nz, nz-1] operators for a single column — becomes a batched GEMM
-    with the member axis as the second matmul dimension (MXU work instead of
-    HBM-bound matrix streaming).  Per member: insolation scale ``F_scales``
-    and ground temperature ``T_gs`` (the stellar-sweep / arctic-amplification
-    workloads, centa_presentation/script.py:40-74).
+    With ``stacked_tau=False`` members share one composition: the
+    tau-dependent TransmissionCache is precomputed ONCE outside the vmap, so
+    the per-step flux — a GEMV against the [L, nz, nz-1] operators for a
+    single column — becomes a batched GEMM with the member axis as the second
+    matmul dimension (MXU work instead of HBM-bound matrix streaming).  Per
+    member: insolation scale ``F_scales`` and ground temperature ``T_gs``
+    (the stellar-sweep / arctic-amplification workloads,
+    centa_presentation/script.py:40-74).
+
+    With ``stacked_tau=True``, ``tau_interface`` carries a leading member
+    axis — one composition per member, each with its own cache (memory
+    ~ n * L * nz^2 floats) — the GHG-ladder workload the reference runs as a
+    sequential Python loop of full marches (real_gas_script.py:27-40).
     """
     from .real_gas import precompute_transmission, real_gas_fluxes_cached
-    cache = precompute_transmission(tau_interface, ba)
 
-    def one(state, scale, T_g):
+    shared_cache = None if stacked_tau else \
+        precompute_transmission(tau_interface, ba)
+
+    def one(state, scale, T_g, tau_i):
+        cache = precompute_transmission(tau_i, ba) if stacked_tau \
+            else shared_cache
         def net_fn(T):
             up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
                                               F_star_factor * scale)
@@ -137,7 +147,9 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
             conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
             max_steps=max_steps, p_descending=False,
             use_delta_exit=use_delta_exit, conv_method=conv_method)
-    return jax.vmap(one)(states, F_scales, T_gs)
+    tau_axis = 0 if stacked_tau else None
+    return jax.vmap(one, in_axes=(0, 0, 0, tau_axis))(
+        states, F_scales, T_gs, tau_interface)
 
 
 def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
@@ -160,6 +172,34 @@ def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
             jnp.asarray(gas.nu_bands['delta'], gas.dtype),
             jnp.asarray(gas.p_interface, gas.dtype),
             jnp.asarray(gas.p[:, 0], gas.dtype))
+    return states, scales, T_gs, args
+
+
+def real_gas_compos_ensemble(gases, T_g_values=None):
+    """Batched march inputs from one RealGas PER COMPOSITION (the GHG-ladder
+    workload, real_gas_script.py:27-40): members stack their own
+    tau_interface; pass the result to ``real_gas_evolve_ensemble`` with
+    ``stacked_tau=True``.
+
+    All members must share the grid and wavenumber machinery (same molecules
+    and nz — only the humidity/abundance args may differ between them).
+    """
+    g0 = gases[0]
+    for g in gases[1:]:
+        if g.nz != g0.nz or g.tau_device.shape != g0.tau_device.shape:
+            raise ValueError('composition members must share nz and the '
+                             'band/wavenumber structure')
+    n = len(gases)
+    states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[g.state for g in gases])
+    T_gs = jnp.asarray([g.T_g for g in gases] if T_g_values is None
+                       else np.asarray(T_g_values, np.float64), g0.dtype)
+    scales = jnp.ones((n,), g0.dtype)
+    taus = jnp.stack([g.tau_device for g in gases])
+    args = (taus, g0.band_arrays, g0._F_star_factor,
+            jnp.asarray(g0.nu_bands['delta'], g0.dtype),
+            jnp.asarray(g0.p_interface, g0.dtype),
+            jnp.asarray(g0.p[:, 0], g0.dtype))
     return states, scales, T_gs, args
 
 

