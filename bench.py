@@ -55,11 +55,13 @@ def bench_grey(n_ensemble=4096, nz=60, max_steps=3000):
         _sync(out)
         wall = min(wall, time.perf_counter() - t0)
     final_states, info = out
-    days = float(jnp.sum(final_states.t)) / 86400.0
-    steps = int(jnp.sum(info.steps))
+    t_np, steps_np, eqb_np = jax.device_get(
+        (final_states.t, info.steps, info.equilibrium))
+    days = float(np.sum(t_np)) / 86400.0
     return {'model_days_per_sec': days / wall, 'wall_s': wall,
-            'ensemble': n_ensemble, 'nz': nz, 'total_steps': steps,
-            'converged_fraction': float(jnp.mean(info.equilibrium))}
+            'ensemble': n_ensemble, 'nz': nz,
+            'total_steps': int(np.sum(steps_np)),
+            'converged_fraction': float(np.mean(eqb_np))}
 
 
 def bench_sw(nx=2050, ny=1026, nt=400, solver='richtmyer_pallas',
@@ -182,6 +184,7 @@ def bench_real_gas_earth(n_nu_bands=200):
             'steps': steps, 'wall_s': wall, 'ms_per_step': 1e3 * wall / steps,
             # the throughput number is only meaningful for a healthy march
             'equilibrium': bool(out[1].equilibrium),
+            'timed_out': bool(out[1].timed_out),
             'failed': bool(out[1].failed), 'nan': bool(out[1].nan)}
 
 
@@ -212,13 +215,16 @@ def bench_real_gas_earth_ensemble(n_ensemble=64, n_nu_bands=200):
         _sync(out)
         wall = min(wall, time.perf_counter() - t0)
     fs, info = out
-    days = float(jnp.sum(fs.t)) / 86400.0
-    steps = int(jnp.sum(info.steps))
+    # one batched pull (each separate sync is a ~25 ms tunnel round trip)
+    t_np, steps_np, eqb_np, failed_np = jax.device_get(
+        (fs.t, info.steps, info.equilibrium, info.failed))
+    days = float(np.sum(t_np)) / 86400.0
+    steps = int(np.sum(steps_np))
     return {'model_days_per_sec': days / wall, 'ensemble': n_ensemble,
             'nz': gas.nz, 'n_nu_bands': n_nu_bands, 'wall_s': wall,
             'total_steps': steps, 'member_steps_per_sec': steps / wall,
-            'converged_fraction': float(jnp.mean(info.equilibrium)),
-            'failed_fraction': float(jnp.mean(info.failed))}
+            'converged_fraction': float(np.mean(eqb_np)),
+            'failed_fraction': float(np.mean(failed_np))}
 
 
 def _thermosphere_world(nz=150):
@@ -277,11 +283,13 @@ def bench_rce_conv_ensemble(n_ensemble=512):
         _sync(out)
         wall = min(wall, time.perf_counter() - t0)
     fs, info = out
-    days = float(jnp.sum(fs.t)) / 86400.0
+    t_np, steps_np, eqb_np = jax.device_get(
+        (fs.t, info.steps, info.equilibrium))
+    days = float(np.sum(t_np)) / 86400.0
     return {'model_days_per_sec': days / wall, 'ensemble': n_ensemble,
             'nz': world.nz, 'conv_method': 'isotonic', 'wall_s': wall,
-            'total_steps': int(jnp.sum(info.steps)),
-            'converged_fraction': float(jnp.mean(info.equilibrium))}
+            'total_steps': int(np.sum(steps_np)),
+            'converged_fraction': float(np.mean(eqb_np))}
 
 
 def _icy_ebm(ny, nz):
@@ -321,11 +329,13 @@ def bench_ebm(ny=64, nz=40):
         _sync(out)
         wall_e = min(wall_e, time.perf_counter() - t0)
     fs, info = out
-    days_e = float(jnp.sum(fs.t)) / 86400.0
+    t_np, steps_np, eqb_np = jax.device_get(
+        (fs.t, info.steps, info.equilibrium))
+    days_e = float(np.sum(t_np)) / 86400.0
     shared['independent_dt_ensemble'] = {
         'model_days_per_sec': days_e / wall_e, 'wall_s': wall_e,
-        'total_steps': int(jnp.sum(info.steps)),
-        'converged_fraction': float(jnp.mean(info.equilibrium))}
+        'total_steps': int(np.sum(steps_np)),
+        'converged_fraction': float(np.mean(eqb_np))}
     return shared
 
 

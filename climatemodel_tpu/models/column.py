@@ -254,11 +254,15 @@ class EquilibriumInfo(NamedTuple):
     delta_net_flux: jnp.ndarray
     flux_thresh: jnp.ndarray
     failed: jnp.ndarray            # temperature went negative (base.py:319-320)
-    equilibrium: jnp.ndarray
+    equilibrium: jnp.ndarray       # TRUE convergence (flux/delta criterion)
     nan: jnp.ndarray               # non-finite T or flux appeared (sanitizer:
     #                                the march aborts immediately instead of
     #                                running to max_steps on garbage; the
     #                                reference has no equivalent guard)
+    timed_out: jnp.ndarray         # hit the t_end cap WITHOUT converging — a
+    #                                legitimate exit like the reference's
+    #                                (base.py:322), but kept separate so
+    #                                convergence claims can't count timeouts
 
 
 def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
@@ -297,27 +301,28 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                        conv_method=conv_method)
 
     def cond(carry):
-        _st, _ft, _delta, i, eqb, failed, nan = carry
-        return ~eqb & ~failed & ~nan & (i < max_steps)
+        _st, _ft, _delta, i, eqb, failed, nan, tout = carry
+        return ~eqb & ~tout & ~failed & ~nan & (i < max_steps)
 
     init = (state, ft0, jnp.asarray(1e6, dtype),
             jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
-            jnp.asarray(False))
-    st, ft, delta, i, eqb, failed, nan = lax.while_loop(cond, body, init)
+            jnp.asarray(False), jnp.asarray(False))
+    st, ft, delta, i, eqb, failed, nan, tout = lax.while_loop(cond, body, init)
     if final_reset:
         st = st.replace(tsi=reset_time_step_info(st.tsi))
     return st, EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
-                               failed=failed, equilibrium=eqb, nan=nan)
+                               failed=failed, equilibrium=eqb, nan=nan,
+                               timed_out=tout)
 
 
 def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 convective_adjust, t_end, conv_thresh, conv_t_multiplier,
                 net_flux_thresh, net_flux_percentile, p_descending,
                 use_delta_exit, conv_method):
-    """The shared march step over carry (state, ft, delta, i, eqb, failed, nan)
-    used by both the fused while_loop and the snapshot scan."""
+    """The shared march step over carry (state, ft, delta, i, eqb, failed,
+    nan, timed_out) used by both the fused while_loop and the snapshot scan."""
     def body(carry):
-        st, ft, _delta, i, _eqb, _failed, _nan = carry
+        st, ft, _delta, i, _eqb, _failed, _nan, _tout = carry
         net = net_flux_fn(st.T)
         st, delta = update_temp(st, net, p_interface, p_centre_col,
                                 changing_tau=False,
@@ -335,8 +340,8 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
         # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
         # first non-finite temperature or flux instead of looping on garbage
         nan = ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
-        timed_out = (st.t - t0) / SECONDS_PER_YEAR > t_end
-        return st, ft, delta, i + 1, eqb | timed_out, failed, nan
+        timed_out = ((st.t - t0) / SECONDS_PER_YEAR > t_end) & ~eqb
+        return st, ft, delta, i + 1, eqb, failed, nan, timed_out
     return body
 
 
@@ -387,8 +392,8 @@ def evolve_snapshots(state: ColumnState, net_flux_fn: Callable, p_interface,
 
     def inner_cond_limit(limit):
         def cond(carry):
-            _st, _ft, _delta, i, eqb, failed, nan = carry
-            return ~eqb & ~failed & ~nan & (i < limit)
+            _st, _ft, _delta, i, eqb, failed, nan, tout = carry
+            return ~eqb & ~tout & ~failed & ~nan & (i < limit)
         return cond
 
     if snapshot_on not in ('pre', 'post'):
@@ -400,20 +405,22 @@ def evolve_snapshots(state: ColumnState, net_flux_fn: Callable, p_interface,
             extra = snapshot_fn(carry[0].T)
         limit = carry[3] + steps_per_snap
         carry = lax.while_loop(inner_cond_limit(limit), body, carry)
-        st, ft, delta, i, eqb, failed, nan = carry
+        st, ft, delta, i, eqb, failed, nan, tout = carry
         if snapshot_fn is not None and snapshot_on == 'post':
             extra = snapshot_fn(st.T)
         snap = {'t': st.t, 'T': st.T, 'delta': delta, 'steps': i,
-                'equilibrium': eqb, 'failed': failed, 'nan': nan}
+                'equilibrium': eqb, 'failed': failed, 'nan': nan,
+                'timed_out': tout}
         if extra is not None:
             snap['extra'] = extra
         return carry, snap
 
     init = (state, ft0, jnp.asarray(1e6, dtype),
             jnp.asarray(i0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
-            jnp.asarray(False))
+            jnp.asarray(False), jnp.asarray(False))
     carry, snaps = lax.scan(outer, init, None, length=n_snaps)
-    st, ft, delta, i, eqb, failed, nan = carry
+    st, ft, delta, i, eqb, failed, nan, tout = carry
     info = EquilibriumInfo(steps=i, delta_net_flux=delta, flux_thresh=ft,
-                           failed=failed, equilibrium=eqb, nan=nan)
+                           failed=failed, equilibrium=eqb, nan=nan,
+                           timed_out=tout)
     return st, info, snaps

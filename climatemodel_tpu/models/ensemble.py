@@ -155,10 +155,15 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
 def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
     """Batched (states, scales, T_gs, march args) from a template RealGas.
 
-    Each member starts from its own isothermal T_g profile (the reference's
-    per-world initialisation, real_gas.py:296-299); composition — and hence
-    the transmission cache — is shared.
+    Each member starts from its own isothermal T_g profile with a FRESH march
+    state — t = 0 and a re-initialised adaptive-dt controller (the reference's
+    per-world initialisation, real_gas.py:296-299) — even when the template
+    has already been marched: a converged template's shrunk delta_t would
+    otherwise restart every member up to ~10x slower (the slow-restart problem
+    evolve_change_compos works around explicitly, real_gas.py:781-784).
+    Composition — and hence the transmission cache — is shared.
     """
+    from .column import init_time_step_info
     n = len(F_scales) if F_scales is not None else len(T_g_values)
     states = broadcast_state(gas.state, n)
     scales = jnp.asarray(np.ones(n) if F_scales is None else
@@ -166,8 +171,14 @@ def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
     T_gs = jnp.asarray(np.full(n, gas.T_g) if T_g_values is None else
                        np.asarray(T_g_values, np.float64), gas.dtype)
     T0 = jnp.broadcast_to(T_gs[:, None, None], (n,) + gas.T.shape)
-    states = states.replace(T=jnp.asarray(T0, gas.dtype),
-                            net_flux=jnp.zeros_like(states.net_flux))
+    tsi0 = init_time_step_info(gas.nz - 1, gas.temp_change,
+                               gas.delta_temp_change, gas.dtype)
+    states = states.replace(
+        T=jnp.asarray(T0, gas.dtype),
+        net_flux=jnp.zeros_like(states.net_flux),
+        t=jnp.zeros((n,), gas.dtype),
+        tsi=jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), tsi0))
     args = (gas.tau_device, gas.band_arrays, gas._F_star_factor,
             jnp.asarray(gas.nu_bands['delta'], gas.dtype),
             jnp.asarray(gas.p_interface, gas.dtype),
@@ -189,6 +200,13 @@ def real_gas_compos_ensemble(gases, T_g_values=None):
         if g.nz != g0.nz or g.tau_device.shape != g0.tau_device.shape:
             raise ValueError('composition members must share nz and the '
                              'band/wavenumber structure')
+        # star/albedo/distance all fold into F_star_factor — members that
+        # differ there would silently march with g0's insolation
+        if not np.allclose(np.asarray(g._F_star_factor),
+                           np.asarray(g0._F_star_factor)):
+            raise ValueError('composition members must share the stellar '
+                             'forcing (T_star/R_star/distance/albedo); only '
+                             'humidity/abundance args may differ')
     n = len(gases)
     states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                     *[g.state for g in gases])

@@ -356,10 +356,11 @@ class GreyGas:
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method, i0=i0,
                         max_steps=i0 + int(chunk_steps), final_reset=False)
-                    steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np = \
-                        jax.device_get((info.steps, info.delta_net_flux,
-                                        self._state.t, info.equilibrium,
-                                        info.failed, info.nan))
+                    steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, \
+                        tout_np = jax.device_get(
+                            (info.steps, info.delta_net_flux, self._state.t,
+                             info.equilibrium, info.failed, info.nan,
+                             info.timed_out))
                     i0 = int(steps_np)
                     ft = info.flux_thresh        # keep the tightened threshold
                     t_chunk_start = float(t_chunk)
@@ -368,7 +369,8 @@ class GreyGas:
                         print(f'step {i0}: t = '
                               f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
                               f'delta_net_flux = {float(delta_np):.4f}')
-                    if bool(eqb_np) or bool(failed_np) or bool(nan_np):
+                    if bool(eqb_np) or bool(tout_np) or bool(failed_np) \
+                            or bool(nan_np):
                         break
                 self._state = self._state.replace(
                     tsi=column.reset_time_step_info(self._state.tsi))
@@ -443,7 +445,7 @@ class GreyGas:
                     'march (NaN sentinel) — check forcing inputs')
             if bool(info_np.failed):
                 raise ValueError('Temperature is below zero')
-            if bool(info_np.equilibrium):
+            if bool(info_np.equilibrium) or bool(info_np.timed_out):
                 break
         # flux views at the last step (lagged like the host path / reference)
         if with_fluxes:

@@ -163,18 +163,52 @@ _NU_RANGE = {'CO2': (0.0, 2800.0), 'CH4': (0.0, 3400.0), 'H2O': (0.0, 4200.0),
              'O3': (0.0, 1400.0)}
 
 
+_FIXTURE_FILES = ('CO2.txt', 'CH4.txt', 'H2O.txt', 'O3.txt',
+                  'O3_UV_273.xsc', 'CFC12.xsc')
+
+
+def _fixture_digest():
+    """crc32 over the fixture files actually on disk — tables built from them
+    are invalid the moment any fixture changes."""
+    crc = 0
+    for name in _FIXTURE_FILES:
+        path = os.path.join(hitran.DEFAULT_LINE_DATA_DIR, name)
+        if os.path.isfile(path):
+            with open(path, 'rb') as f:
+                crc = zlib.crc32(f.read(), crc)
+    return f'{crc:08x}'
+
+
 def ensure_earth_tables(output_folder=None, overwrite=False, verbose=False):
     """First-boot table generation: build any missing CO2/CH4/H2O/O3 lookup
-    tables from the fabricated fixtures.  Existing tables (real ones dropped
-    into the folder, or a previous run's output) are kept."""
+    tables from the fabricated fixtures.
+
+    A stamp file in the table folder records the fixture digest the tables
+    were built from; when the shipped fixtures change (e.g. the O3 UV
+    magnitude fix), previously-built tables are rebuilt automatically instead
+    of staying silently stale.  Tables that predate any stamp (possibly real
+    user-dropped spectroscopy) are never clobbered unless ``overwrite``.
+    """
+    import json
     out = output_folder or hitran.lookup_table_folder()
     os.makedirs(out, exist_ok=True)
     write_line_fixtures()
     write_uv_fixtures()
+    digest = _fixture_digest()
+    stamp_path = os.path.join(out, '_earth_fixture_stamp.json')
+    stamp = {'digest': None, 'built': []}
+    if os.path.isfile(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                stamp = json.load(f)
+        except (ValueError, OSError):
+            pass
+    stale = stamp['digest'] is not None and stamp['digest'] != digest
     built = []
     for name in ('CO2', 'CH4', 'H2O', 'O3'):
         path = hitran.table_path(name, out)
-        if os.path.isfile(path) and not overwrite:
+        if os.path.isfile(path) and not overwrite and \
+                not (stale and name in stamp['built']):
             continue
         nu_min, nu_max = _NU_RANGE[name]
         wavenumbers = np.arange(nu_min, nu_max + hitran.table_dnu / 2,
@@ -182,4 +216,7 @@ def ensure_earth_tables(output_folder=None, overwrite=False, verbose=False):
         hitran.make_table(name, wavenumber_array=wavenumbers,
                           output_folder=out, overwrite=True, verbose=verbose)
         built.append(name)
+    with open(stamp_path, 'w') as f:
+        json.dump({'digest': digest,
+                   'built': sorted(set(stamp['built']) | set(built))}, f)
     return out, built

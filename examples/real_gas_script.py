@@ -54,9 +54,10 @@ states, sc, T_gs, eargs = ensemble.real_gas_ensemble(
     earth, F_scales=np.linspace(0.9, 1.1, 16))
 fs, info = ensemble.real_gas_evolve_ensemble(
     states, sc, T_gs, *eargs, jnp.asarray(1e-3, earth.dtype), t_end=2.0)
-print(f'insolation sweep: {int(info.equilibrium.sum())}/16 converged, '
-      f'surface-air T {float(fs.T[:, -1, 0].min()):.1f}..'
-      f'{float(fs.T[:, -1, 0].max()):.1f} K')
+import jax
+eqb_np, T_sfc = jax.device_get((info.equilibrium, fs.T[:, -1, 0]))
+print(f'insolation sweep: {int(eqb_np.sum())}/16 converged, '
+      f'surface-air T {float(T_sfc.min()):.1f}..{float(T_sfc.max()):.1f} K')
 
 '''Evolving CO2 conc - GHG ladder (real_gas_script.py:27-40): the reference
 marches each concentration sequentially; here the whole ladder is ONE vmapped

@@ -52,6 +52,19 @@ def test_make_table_cfc12_standalone(lut_dir):
     assert float(table['absorption_coef'].max()) > 0
 
 
+def test_fixture_change_invalidates_tables(lut_dir, monkeypatch):
+    """Tables built from the fabricated fixtures are rebuilt when the shipped
+    fixtures change (stamp-file digest); without this, a fixture fix leaves
+    every existing install marching on stale spectroscopy."""
+    _, built = earth_tables.ensure_earth_tables()
+    assert set(built) == {'CO2', 'CH4', 'H2O', 'O3'}
+    _, built2 = earth_tables.ensure_earth_tables()
+    assert built2 == []                      # same fixtures: no rebuild
+    monkeypatch.setattr(earth_tables, '_fixture_digest', lambda: 'deadbeef')
+    _, built3 = earth_tables.ensure_earth_tables()
+    assert set(built3) == {'CO2', 'CH4', 'H2O', 'O3'}   # digest change: rebuild
+
+
 def test_ensure_earth_tables_and_column(lut_dir):
     """First-boot generation + the 4-gas earth column end-to-end, standalone."""
     out, built = earth_tables.ensure_earth_tables()
@@ -67,9 +80,13 @@ def test_ensure_earth_tables_and_column(lut_dir):
     assert np.isfinite(gas.net_flux).all()
     # the reference's flagship march (real_gas_script.py:56) must actually
     # REACH equilibrium — an over-strong UV fixture once drove the micro-mass
-    # TOA levels into a >1500 K runaway that aborted on negative T
-    gas.evolve_to_equilibrium(flux_thresh=1e-3, save=False, t_end=2.0)
+    # TOA levels into a >1500 K runaway that aborted on negative T.
+    # (t_end=50: the coarse nz=40 column genuinely converges at ~17 model
+    # years / ~600 steps; nz='auto' converges within the reference's 2.)
+    gas.evolve_to_equilibrium(flux_thresh=1e-3, save=False, t_end=50.0)
     info = gas._equilibrium_info
-    assert bool(info.equilibrium) and not bool(info.failed)
+    # equilibrium means TRUE convergence — a t_end timeout sets timed_out
+    assert bool(info.equilibrium) and not bool(info.timed_out) \
+        and not bool(info.failed)
     assert np.isfinite(gas.T).all()
     assert 80 < gas.T.min() and gas.T.max() < 500
