@@ -318,8 +318,11 @@ def bench_ebm(ny=64, nz=40):
     world3 = _icy_ebm(ny, nz)
     states, forcings, p_int, p_c = ensemble.grey_latitude_ensemble(world3)
     ft = jnp.asarray(1e-3, world3.dtype)
+    # default (delta-aware) exit, matching the shared-dt world above: in
+    # strict flux-balance mode frozen-level fluxes never vanish and every
+    # member reports timed_out even with a fully static temperature field
     run = lambda: ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
-                                                ft, use_delta_exit=False)
+                                                ft)
     out = run()
     _sync(out)
     wall_e = float('inf')

@@ -162,12 +162,43 @@ def _isotonic_increasing(theta, v):
     return lax.cummax(m, axis=0)[jnp.arange(n), jnp.arange(n)]
 
 
+# Batched executor with a custom vmap rule: nested vmaps (ny columns inside
+# ensemble members) FLATTEN into one leading row axis instead of stacking
+# batch dims, so on TPU the whole batch lands on the Pallas kernel's lane
+# axis (ops/pallas_isotonic.py).  The XLA min-max table above is kept as the
+# single-column / CPU / f64 path; profiled on v5e the table formula costs
+# ~6 ms at 512x150 and dominated convective-ensemble marches (CLAUDE.md).
+@jax.custom_batching.custom_vmap
+def _iso_rows(theta2d, v):
+    """[b, n] batch of columns -> [b, n] isotonic fits (shared weights v)."""
+    if (jax.default_backend() == 'tpu' and theta2d.dtype == jnp.float32
+            and theta2d.shape[0] >= 8 and theta2d.shape[1] >= 2):
+        from .pallas_isotonic import isotonic_increasing_lanes
+        return isotonic_increasing_lanes(theta2d, v)
+    return jax.vmap(lambda th: _isotonic_increasing(th, v))(theta2d)
+
+
+@_iso_rows.def_vmap
+def _iso_rows_vmap_rule(axis_size, in_batched, theta3, v):
+    theta_b, v_b = in_batched
+    if not theta_b:
+        theta3 = jnp.broadcast_to(theta3[None], (axis_size,) + theta3.shape)
+    if v_b:
+        # per-member weights: no shared-v kernel — vectorised formula
+        out = jax.vmap(lambda th2, vv: jax.vmap(
+            lambda th: _isotonic_increasing(th, vv))(th2))(theta3, v)
+        return out, True
+    b2, b, n = theta3.shape
+    out = _iso_rows(theta3.reshape(b2 * b, n), v)     # recurse: merge batches
+    return out.reshape(b2, b, n), True
+
+
 def _isotonic_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference):
     alpha = R_specific * lapse_rate / g
     pi = (p / p_reference) ** alpha
     theta = T / pi
     w = _trapz_weights(p)
-    theta_fit = _isotonic_increasing(theta, w * pi)
+    theta_fit = _iso_rows(theta[None, :], w * pi)[0]
     T_new = theta_fit * pi
 
     if delta_T_thresh is None:

@@ -167,3 +167,33 @@ def test_multi_latitude_and_ordering():
     for j in range(6):
         np.testing.assert_allclose(-np.trapz(out_desc[:, j], p),
                                    -np.trapz(T[:, j], p), rtol=1e-8)
+
+
+def test_pallas_isotonic_bit_matches_formula():
+    """The lane-batched Pallas kernel (interpret mode on CPU) is BIT-identical
+    to the XLA min-max table: same prefix sums, same divisions, and min/max
+    are exactly associative (ops/pallas_isotonic.py)."""
+    import jax
+    from climatemodel_tpu.ops.convection import _isotonic_increasing
+    from climatemodel_tpu.ops.pallas_isotonic import isotonic_increasing_lanes
+    rng = np.random.default_rng(3)
+    for b, n in [(2, 9), (7, 149), (140, 31)]:
+        theta = jnp.asarray(200 + 100 * rng.random((b, n)), jnp.float32)
+        v = jnp.asarray(rng.uniform(0.5, 2.0, (n,)), jnp.float32)
+        ref = jax.vmap(lambda th: _isotonic_increasing(th, v))(theta)
+        got = isotonic_increasing_lanes(theta, v, interpret=True)
+        assert bool(jnp.all(ref == got)), (b, n)
+
+
+def test_iso_rows_nested_vmap_flattens():
+    """Nested vmaps over _iso_rows (ny inside ensemble members) merge into one
+    flat batch via the custom_vmap rule and match the per-column formula."""
+    import jax
+    from climatemodel_tpu.ops.convection import _iso_rows, _isotonic_increasing
+    rng = np.random.default_rng(5)
+    n = 23
+    theta3 = jnp.asarray(250 + 30 * rng.standard_normal((4, 3, n)))
+    v = jnp.asarray(rng.uniform(0.5, 2.0, (n,)))
+    got = jax.vmap(jax.vmap(lambda th: _iso_rows(th[None, :], v)[0]))(theta3)
+    ref = jax.vmap(jax.vmap(lambda th: _isotonic_increasing(th, v)))(theta3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
