@@ -186,6 +186,58 @@ def real_gas_ensemble(gas, F_scales=None, T_g_values=None):
     return states, scales, T_gs, args
 
 
+def real_gas_find_Tg_ensemble(states, scales, T_gs0, args, flux_thresh=0.1,
+                              tol=0.5, max_iter=12, stacked_tau=False,
+                              verbose=False, **march_kw):
+    """Batched ground-temperature solve: the reference's ``find_Tg`` Newton
+    (real_gas.py:530-562, optimize.newton with no derivative = secant) as a
+    vectorised secant iteration — every trial is ONE vmapped equilibrium
+    march for all members at once.  The reference's CO2-ladder experiment
+    (real_gas_script.py:27-40) runs this sequentially per concentration.
+
+    :param states, scales, T_gs0, args: from ``real_gas_ensemble`` (shared
+        composition, e.g. insolation sweep) or ``real_gas_compos_ensemble``
+        (+ ``stacked_tau=True``, one composition per member).
+    :param tol: per-member secant step tolerance (reference tol=0.5 K).
+    :return: (T_g [n], final states, {'converged', 'iterations', 'residual'})
+    """
+    dtype = states.T.dtype
+    tsi_fresh = states.tsi
+    ft = jnp.asarray(flux_thresh, dtype)
+
+    def march(prev_states, T_gs):
+        # warm-start the temperature field, fresh march bookkeeping
+        st = prev_states.replace(t=jnp.zeros_like(prev_states.t),
+                                 net_flux=jnp.zeros_like(prev_states.net_flux),
+                                 tsi=tsi_fresh)
+        out, _info = real_gas_evolve_ensemble(st, scales, T_gs, *args, ft,
+                                              stacked_tau=stacked_tau,
+                                              **march_kw)
+        return out, out.net_flux[:, 0, 0]          # TOA net flux per member
+
+    x0 = T_gs0
+    st, f0 = march(states, x0)
+    x1 = x0 * (1 + 1e-4) + 1e-4                    # scipy newton secant seed
+    st, f1 = march(st, x1)
+    done = jnp.zeros(x0.shape, bool)
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        denom = f1 - f0
+        step = jnp.where(denom == 0, 0.0, f1 * (x1 - x0) / denom)
+        x2 = jnp.where(done, x1, x1 - step)
+        done = done | (jnp.abs(x2 - x1) < tol)
+        x0, f0 = x1, f1
+        st, f2 = march(st, x2)
+        x1, f1 = x2, f2
+        done_np, x_np = jax.device_get((done, x1))  # one pull per iteration
+        if verbose:
+            print(f'find_Tg iter {iters}: {int(done_np.sum())}/{done_np.size}'
+                  f' converged, T_g in [{x_np.min():.2f}, {x_np.max():.2f}]')
+        if bool(done_np.all()):
+            break
+    return x1, st, {'converged': done, 'iterations': iters, 'residual': f1}
+
+
 def real_gas_compos_ensemble(gases, T_g_values=None):
     """Batched march inputs from one RealGas PER COMPOSITION (the GHG-ladder
     workload, real_gas_script.py:27-40): members stack their own

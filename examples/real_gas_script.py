@@ -73,6 +73,10 @@ march with a per-member optical depth (stacked_tau=True)'''
 # fs, info = ensemble.real_gas_evolve_ensemble(
 #     states, sc, T_gs, *largs, jnp.asarray(1e-3, ladder[0].dtype),
 #     stacked_tau=True)
+# # ... and the 'finding list of ground temp eqb' variant: every ladder rung's
+# # T_g solved at once (vectorised secant, each trial one vmapped march)
+# Tg, _, info = ensemble.real_gas_find_Tg_ensemble(
+#     states, sc, T_gs, largs, stacked_tau=True)
 
 '''Single-line toy gas'''
 gas = RealGas(nz='auto', ny=1, molecule_names=['single_line'], T_g=265.19,

@@ -178,6 +178,33 @@ def test_real_gas_compos_ensemble_ghg_ladder():
                            np.asarray(out_states.T[1]), atol=0.5)
 
 
+def test_real_gas_find_Tg_ensemble_matches_solo():
+    """The vectorised secant T_g solve agrees with the reference-style scalar
+    Newton (real_gas.py:530-562) and orders with insolation."""
+    from climatemodel_tpu.models import ensemble
+    from climatemodel_tpu.models.real_gas import RealGas
+    from climatemodel_tpu.spectral import humidity
+
+    def make():
+        return RealGas(nz=30, ny=1, molecule_names=['single_line'],
+                       T_g=260.0, q_funcs={'single_line': humidity.co2},
+                       q_funcs_args={'single_line': ()},
+                       delta_temp_change=0.1)
+
+    gas = make()
+    states, scales, T_gs, args = ensemble.real_gas_ensemble(
+        gas, F_scales=[1.0, 1.2])
+    Tg, _, info = ensemble.real_gas_find_Tg_ensemble(
+        states, scales, T_gs, args, flux_thresh=0.1, tol=0.5)
+    assert bool(info['converged'].all())
+    solo = make()
+    Tg_solo = solo.find_Tg(flux_thresh=0.1, tol=0.5)
+    # both solvers stop within tol of the root: agree to ~2 tol
+    assert abs(float(Tg[0]) - Tg_solo) < 1.0
+    # brighter star needs a warmer ground to balance the TOA flux
+    assert float(Tg[1]) > float(Tg[0])
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
