@@ -226,6 +226,32 @@ def _cmd_real_gas(args):
                       q_funcs_args={'single_line': ()}, T_g=265.0)
     gas = RealGas(nz='auto' if args.nz == 'auto' else int(args.nz), ny=1,
                   n_nu_bands=args.n_bands, **kw)
+    if args.sweep:
+        # vmapped insolation sweep (one compiled march for all members);
+        # optionally solve each member's balanced T_g first
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from .models import ensemble
+        lo, hi = args.sweep_range
+        scales = np.linspace(lo, hi, args.sweep)
+        states, sc, T_gs, margs = ensemble.real_gas_ensemble(
+            gas, F_scales=scales)
+        if args.find_tg:
+            T_gs, states, tg_info = ensemble.real_gas_find_Tg_ensemble(
+                states, sc, T_gs, margs, verbose=args.verbose)
+        fs, info = ensemble.real_gas_evolve_ensemble(
+            states, sc, T_gs, *margs, jnp.asarray(args.flux_thresh, gas.dtype),
+            t_end=20.0)
+        eqb_np, Tg_np, T_sfc = jax.device_get(
+            (info.equilibrium, T_gs, fs.T[:, -1, 0]))
+        print(json.dumps({
+            'molecules': kw['molecule_names'], 'nz': gas.nz,
+            'sweep': [float(v) for v in scales],
+            'converged': int(eqb_np.sum()),
+            'T_g': [round(float(v), 3) for v in Tg_np],
+            'T_surface_air': [round(float(v), 3) for v in T_sfc]}))
+        return
     gas.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
                               verbose=args.verbose)
     print(json.dumps({'molecules': kw['molecule_names'], 'nz': gas.nz,
@@ -319,6 +345,14 @@ def main(argv=None):
     p.add_argument('--nz', default='auto')
     p.add_argument('--n-bands', type=int, default=40)
     p.add_argument('--flux-thresh', type=float, default=1e-3)
+    p.add_argument('--sweep', type=int, default=0, metavar='N',
+                   help='march N insolation-scaled members as one vmapped '
+                        'ensemble instead of a single column')
+    p.add_argument('--sweep-range', type=float, nargs=2, default=(0.9, 1.1),
+                   metavar=('LO', 'HI'), help='insolation scale range')
+    p.add_argument('--find-tg', action='store_true',
+                   help="solve each sweep member's balanced ground "
+                        'temperature first (vectorised secant)')
     p.add_argument('--verbose', action='store_true')
     _add_common(p)
     p.set_defaults(fn=_cmd_real_gas)

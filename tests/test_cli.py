@@ -67,6 +67,22 @@ def test_main_module_importable():
     assert 'import-ok' in out.stdout
 
 
+def test_cli_real_gas_sweep_find_tg():
+    """real-gas --sweep N --find-tg: vmapped insolation members, vectorised
+    T_g solve, JSON record with per-member results."""
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(['real-gas', '--nz', '30', '--sweep', '2',
+                  '--find-tg', '--flux-thresh', '0.1'])
+    rec = json.loads(buf.getvalue().splitlines()[-1])
+    assert rec['converged'] == 2
+    assert len(rec['T_g']) == 2
+    # brighter star solves a warmer balanced ground temperature
+    assert rec['T_g'][1] > rec['T_g'][0]
+
+
 def test_cli_grey_end_to_end(tmp_path):
     """One fast end-to-end CLI march (small fixed grid, loose threshold)."""
     argv = ['grey', '--world', 'scale_height', '--nz', '40',
