@@ -230,6 +230,47 @@ def bench_real_gas_earth_ensemble(n_ensemble=64, n_nu_bands=200):
             'failed_fraction': float(np.mean(failed_np))}
 
 
+def bench_real_gas_hires(nz=400, n_nu_bands=200, max_steps=500):
+    """High-resolution earth column (nz=400 x 200 bands): the cached march
+    streams the two [L, nz, nz-1] transmission operators (~255 MB f32) every
+    step and runs at the HBM roofline — the config where the opt-in bf16
+    cache (cache_dtype) pays.  Throughput-only: steps capped at max_steps /
+    t_end (per-dtype counts reported; ms/step is the comparable number)."""
+    from climatemodel_tpu.models.real_gas import RealGas, _real_gas_evolve
+    from climatemodel_tpu.spectral import earth_tables
+    earth_tables.ensure_earth_tables()
+    gas = RealGas(nz=nz, ny=1, molecule_names=['CO2', 'CH4', 'H2O', 'O3'],
+                  T_g=265.19, p_toa=0.1, n_nu_bands=n_nu_bands, temp_change=1,
+                  delta_temp_change=0.1)
+    args = (gas.state, jnp.asarray(gas.T_g, gas.dtype), gas.tau_device,
+            gas.band_arrays, gas._F_star_factor,
+            jnp.asarray(gas.nu_bands['delta'], gas.dtype),
+            jnp.asarray(gas.p_interface, gas.dtype),
+            jnp.asarray(gas.p[:, 0], gas.dtype),
+            jnp.asarray(1e-3, gas.dtype))
+    res = {'nz': nz, 'n_nu_bands': n_nu_bands}
+    for key, cd in (('f32', None), ('bf16_cache', jnp.bfloat16)):
+        out = _real_gas_evolve(*args, t_end=2.0, max_steps=max_steps,
+                               cache_dtype=cd)
+        _sync(out[0].T)
+        wall = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = _real_gas_evolve(*args, t_end=2.0, max_steps=max_steps,
+                                   cache_dtype=cd)
+            _sync(out[0].T)
+            wall = min(wall, time.perf_counter() - t0)
+        steps = int(jax.device_get(out[1].steps))
+        res[key] = {'steps_per_sec': steps / wall,
+                    'ms_per_step': 1e3 * wall / steps, 'steps': steps}
+    n_lw = int(gas.band_arrays.idx.shape[0])
+    b = 2 * n_lw * nz * (nz - 1) * 4
+    res['f32']['min_traffic_gbs'] = b * res['f32']['steps_per_sec'] / 1e9
+    res['bf16_speedup'] = (res['bf16_cache']['steps_per_sec']
+                           / res['f32']['steps_per_sec'])
+    return res
+
+
 def _thermosphere_world(nz=150):
     # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
     # compiles/runs long enough to trip the axon execution watchdog)
@@ -406,15 +447,23 @@ def main():
     extra = {'platform': platform, 'n_devices': len(jax.devices()),
              'device': str(jax.devices()[0]),
              'dtype': str(jnp.zeros(0).dtype)}
+    # the two headline configs run unguarded (a failure there SHOULD fail the
+    # bench); the extras are individually guarded so one broken config can't
+    # zero out the whole record
     extra['grey_rce'] = bench_grey()
     extra['shallow_water'] = bench_sw()
-    extra['real_gas'] = bench_real_gas()
-    extra['real_gas_earth'] = bench_real_gas_earth()
-    extra['real_gas_earth_ensemble'] = bench_real_gas_earth_ensemble()
-    extra['rce_convective'] = bench_rce_conv()
-    extra['rce_convective_ensemble'] = bench_rce_conv_ensemble()
-    extra['ebm_ice_albedo'] = bench_ebm()
-    extra['sw_weak_scaling_cpu_mesh'] = bench_weak_scaling_cpu()
+    for key, fn in (('real_gas', bench_real_gas),
+                    ('real_gas_earth', bench_real_gas_earth),
+                    ('real_gas_earth_ensemble', bench_real_gas_earth_ensemble),
+                    ('real_gas_hires', bench_real_gas_hires),
+                    ('rce_convective', bench_rce_conv),
+                    ('rce_convective_ensemble', bench_rce_conv_ensemble),
+                    ('ebm_ice_albedo', bench_ebm),
+                    ('sw_weak_scaling_cpu_mesh', bench_weak_scaling_cpu)):
+        try:
+            extra[key] = fn()
+        except Exception as e:      # record, keep benching
+            extra[key] = {'error': f'{type(e).__name__}: {e}'[:300]}
 
     # roofline: minimum HBM traffic of the SW step is 3 reads + 3 writes of
     # the interior field set (plus the damping field read in the fused

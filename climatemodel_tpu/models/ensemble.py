@@ -105,14 +105,16 @@ def grey_latitude_ensemble(world: GreyGas):
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'use_delta_exit', 'conv_method',
-                                             'max_steps', 'stacked_tau'))
+                                             'max_steps', 'stacked_tau',
+                                             'cache_dtype'))
 def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
                              tau_interface, ba, F_star_factor, delta,
                              p_interface, p_centre_col, flux_thresh,
                              convective_adjust=False, t_end=4.0,
                              conv_thresh=1e-5, conv_t_multiplier=5.0,
                              max_steps=500_000, use_delta_exit=True,
-                             conv_method='isotonic', stacked_tau=False):
+                             conv_method='isotonic', stacked_tau=False,
+                             cache_dtype=None):
     """vmapped real-gas march over a leading ensemble axis.
 
     With ``stacked_tau=False`` members share one composition: the
@@ -132,11 +134,11 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
     from .real_gas import precompute_transmission, real_gas_fluxes_cached
 
     shared_cache = None if stacked_tau else \
-        precompute_transmission(tau_interface, ba)
+        precompute_transmission(tau_interface, ba, cache_dtype)
 
     def one(state, scale, T_g, tau_i):
-        cache = precompute_transmission(tau_i, ba) if stacked_tau \
-            else shared_cache
+        cache = precompute_transmission(tau_i, ba, cache_dtype) \
+            if stacked_tau else shared_cache
         def net_fn(T):
             up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
                                               F_star_factor * scale)

@@ -80,8 +80,18 @@ class TransmissionCache:
     hi_down: jnp.ndarray      # [L, nz]  upper-interface term coefficients
 
 
-def precompute_transmission(tau_interface, ba: BandArrays) -> TransmissionCache:
-    """Fold everything tau-dependent out of the per-step flux computation."""
+def precompute_transmission(tau_interface, ba: BandArrays,
+                            cache_dtype=None) -> TransmissionCache:
+    """Fold everything tau-dependent out of the per-step flux computation.
+
+    :param cache_dtype: optional storage dtype for the two [L, nz, nz-1]
+        interior operators (e.g. ``jnp.bfloat16``): the cached march streams
+        them from HBM every step, so halving their bytes lifts the
+        bandwidth-bound GEMV ~2x on TPU.  The einsum accumulates in f32
+        (``preferred_element_type``); rank-1 terms stay full precision.
+        Opt-in: bf16 carries ~3 significant digits, so equilibria shift at
+        the ~0.1 K level (bounded in tests/test_real_gas_perf_modes.py).
+    """
     nz = tau_interface.shape[0]
     att_up = tr.band_attenuation(tau_interface, ba.idx, ba.w, ba.delta,
                                  ref_level=nz - 1)
@@ -104,6 +114,9 @@ def precompute_transmission(tau_interface, ba: BandArrays) -> TransmissionCache:
     hi_down = ba.W_down[None, :, nz] * diag_dn
     # M_down[b, j, m] = W_down[j, 1+m] * dTr_dn[b, m, j]
     M_down = jnp.swapaxes(dTr_dn, 1, 2) * ba.W_down[None, :, 1:nz]
+    if cache_dtype is not None:
+        M_up = M_up.astype(cache_dtype)
+        M_down = M_down.astype(cache_dtype)
     return TransmissionCache(att_up=att_up, att_down=att_down, M_up=M_up,
                              M_down=M_down, lo_up=lo_up, sf_up=sf_up,
                              toa_down=toa_down, hi_down=hi_down)
@@ -124,11 +137,16 @@ def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
     B_int = jnp.pi * B_wavenumber(ba.lw_centre[:, None], T_interface[None, :])
     B_g = jnp.pi * B_wavenumber(ba.lw_centre, T_g)
 
+    # the GEMV accumulates in f32 even when the cached operators are stored
+    # bf16 (see precompute_transmission's cache_dtype)
+    B_c_m = B_c.astype(cache.M_up.dtype)
     integral_up = -(cache.lo_up * B_int
-                    + jnp.einsum('bim,bm->bi', cache.M_up, B_c)
+                    + jnp.einsum('bim,bm->bi', cache.M_up, B_c_m,
+                                 preferred_element_type=B_c.dtype)
                     + cache.sf_up * B_g[:, None])
     integral_down = (cache.toa_down * B_int[:, :1]
-                     + jnp.einsum('bim,bm->bi', cache.M_down, B_c)
+                     + jnp.einsum('bim,bm->bi', cache.M_down, B_c_m,
+                                  preferred_element_type=B_c.dtype)
                      + cache.hi_down * B_int)
     up = up.at[ba.lw_list].add(integral_up)
     down = down.at[ba.lw_list].add(integral_down)
@@ -203,18 +221,19 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
 # march passes a growing i0+chunk_steps and must not retrace per chunk
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
-                                             'conv_method', 'final_reset'))
+                                             'conv_method', 'final_reset',
+                                             'cache_dtype'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
                      F_star_factor, delta, p_interface, p_centre_col,
                      flux_thresh, convective_adjust=False, t_end=4.0,
                      conv_thresh=1e-5, conv_t_multiplier=5.0,
                      net_flux_thresh=1e-7, net_flux_percentile=95,
                      max_steps=500_000, conv_method='reference', i0=0,
-                     final_reset=True):
+                     final_reset=True, cache_dtype=None):
     # tau (composition) is fixed during the march: hoist the transmission
     # matrices and integral-weight products out of the loop; each step is then
     # a couple of small batched matmuls over the Planck factors.
-    cache = precompute_transmission(tau_interface, ba)
+    cache = precompute_transmission(tau_interface, ba, cache_dtype)
 
     def net_fn(T):
         up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
@@ -274,7 +293,7 @@ class RealGas:
                  star_planet_dist=AU, albedo=0.3, temp_change=1.0,
                  delta_temp_change=0.01, T_func=None,
                  p_surface=p_surface_earth, p_toa=p_toa_earth,
-                 table_folder=None, dtype=None):
+                 table_folder=None, dtype=None, cache_dtype=None):
         if ny != 1:
             raise NotImplementedError('RealGas supports ny=1 (like the '
                                       'reference); batch columns with vmap')
@@ -282,6 +301,9 @@ class RealGas:
         self.p_surface = float(p_surface)
         self.p_toa = float(p_toa)
         self.table_folder = table_folder
+        # optional storage dtype for the cached transmission operators (e.g.
+        # jnp.bfloat16): a bandwidth/precision trade for the fused march
+        self.cache_dtype = cache_dtype
         self.dtype = dtype or jnp.zeros(0).dtype
         self.star = {'T': float(T_star), 'R': float(R_star),
                      'star_planet_dist': float(star_planet_dist)}
@@ -672,7 +694,7 @@ class RealGas:
                 jnp.asarray(self.p[:, 0], self.dtype))
         kw = dict(convective_adjust=convective_adjust,
                   conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
-                  conv_method=conv_method)
+                  conv_method=conv_method, cache_dtype=self.cache_dtype)
         ft = jnp.asarray(flux_thresh, self.dtype)
         if chunk_steps is None:
             self._state, info = _real_gas_evolve(self._state, *args, ft,
