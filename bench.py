@@ -449,9 +449,15 @@ def main():
              'dtype': str(jnp.zeros(0).dtype)}
     # the two headline configs run unguarded (a failure there SHOULD fail the
     # bench); the extras are individually guarded so one broken config can't
-    # zero out the whole record
+    # zero out the whole record.  config_wall_s records each config's total
+    # wall INCLUDING compiles, so future rounds can see where bench time goes
+    walls = {}
+    t0 = time.perf_counter()
     extra['grey_rce'] = bench_grey()
+    walls['grey_rce'] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     extra['shallow_water'] = bench_sw()
+    walls['shallow_water'] = round(time.perf_counter() - t0, 1)
     for key, fn in (('real_gas', bench_real_gas),
                     ('real_gas_earth', bench_real_gas_earth),
                     ('real_gas_earth_ensemble', bench_real_gas_earth_ensemble),
@@ -460,10 +466,13 @@ def main():
                     ('rce_convective_ensemble', bench_rce_conv_ensemble),
                     ('ebm_ice_albedo', bench_ebm),
                     ('sw_weak_scaling_cpu_mesh', bench_weak_scaling_cpu)):
+        t0 = time.perf_counter()
         try:
             extra[key] = fn()
         except Exception as e:      # record, keep benching
             extra[key] = {'error': f'{type(e).__name__}: {e}'[:300]}
+        walls[key] = round(time.perf_counter() - t0, 1)
+    extra['config_wall_s'] = walls
 
     # roofline: minimum HBM traffic of the SW step is 3 reads + 3 writes of
     # the interior field set (plus the damping field read in the fused

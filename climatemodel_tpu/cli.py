@@ -226,6 +226,9 @@ def _cmd_real_gas(args):
                       q_funcs_args={'single_line': ()}, T_g=265.0)
     gas = RealGas(nz='auto' if args.nz == 'auto' else int(args.nz), ny=1,
                   n_nu_bands=args.n_bands, **kw)
+    if args.find_tg and not args.sweep:
+        raise SystemExit('--find-tg requires --sweep (the vectorised solve '
+                         'runs over ensemble members)')
     if args.sweep:
         # vmapped insolation sweep (one compiled march for all members);
         # optionally solve each member's balanced T_g first
@@ -237,20 +240,41 @@ def _cmd_real_gas(args):
         scales = np.linspace(lo, hi, args.sweep)
         states, sc, T_gs, margs = ensemble.real_gas_ensemble(
             gas, F_scales=scales)
+        rec = {'molecules': kw['molecule_names'], 'nz': gas.nz,
+               'sweep': [float(v) for v in scales]}
         if args.find_tg:
+            # the solve marches at the reference's flux_thresh=0.1
+            # (real_gas.py:530-562); --flux-thresh governs the final march
             T_gs, states, tg_info = ensemble.real_gas_find_Tg_ensemble(
                 states, sc, T_gs, margs, verbose=args.verbose)
+            rec['tg_converged'] = int(jax.device_get(
+                tg_info['converged']).sum())
         fs, info = ensemble.real_gas_evolve_ensemble(
             states, sc, T_gs, *margs, jnp.asarray(args.flux_thresh, gas.dtype),
             t_end=20.0)
         eqb_np, Tg_np, T_sfc = jax.device_get(
             (info.equilibrium, T_gs, fs.T[:, -1, 0]))
-        print(json.dumps({
-            'molecules': kw['molecule_names'], 'nz': gas.nz,
-            'sweep': [float(v) for v in scales],
-            'converged': int(eqb_np.sum()),
-            'T_g': [round(float(v), 3) for v in Tg_np],
-            'T_surface_air': [round(float(v), 3) for v in T_sfc]}))
+        rec.update({'converged': int(eqb_np.sum()),
+                    'T_g': [round(float(v), 3) for v in Tg_np],
+                    'T_surface_air': [round(float(v), 3) for v in T_sfc]})
+        print(json.dumps(rec))
+        if args.plot:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots()
+            ax.plot(scales, np.asarray(T_sfc), 'o-', label='surface air T')
+            if args.find_tg:
+                ax.plot(scales, np.asarray(Tg_np), 's--', label='solved T_g')
+            ax.set_xlabel('insolation scale')
+            ax.set_ylabel('T (K)')
+            ax.legend()
+            fig.savefig(args.plot, dpi=90)
+            print(f'plot -> {args.plot}')
+        if args.out:
+            from .utils.checkpoint import save_pytree
+            save_pytree(args.out, fs)
+            print(f'ensemble states -> {args.out}')
         return
     gas.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
                               verbose=args.verbose)
@@ -352,7 +376,8 @@ def main(argv=None):
                    metavar=('LO', 'HI'), help='insolation scale range')
     p.add_argument('--find-tg', action='store_true',
                    help="solve each sweep member's balanced ground "
-                        'temperature first (vectorised secant)')
+                        'temperature first (vectorised secant; the solve '
+                        "marches at the reference's flux_thresh=0.1)")
     p.add_argument('--verbose', action='store_true')
     _add_common(p)
     p.set_defaults(fn=_cmd_real_gas)

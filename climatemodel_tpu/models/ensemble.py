@@ -225,9 +225,16 @@ def real_gas_find_Tg_ensemble(states, scales, T_gs0, args, flux_thresh=0.1,
     iters = 0
     for iters in range(1, max_iter + 1):
         denom = f1 - f0
-        step = jnp.where(denom == 0, 0.0, f1 * (x1 - x0) / denom)
+        zero = denom == 0
+        # a zero denominator means the flux response fell below the march's
+        # resolution — probe a fixed step toward balance (net > 0 at TOA =
+        # net cooling = ground too warm) instead of silently declaring the
+        # unbalanced T_g converged (scipy raises on a zero derivative)
+        probe = jnp.sign(f1) * jnp.maximum(tol, 1.0)
+        step = jnp.where(zero, probe,
+                         f1 * (x1 - x0) / jnp.where(zero, 1.0, denom))
         x2 = jnp.where(done, x1, x1 - step)
-        done = done | (jnp.abs(x2 - x1) < tol)
+        done = done | ((jnp.abs(x2 - x1) < tol) & ~zero)
         x0, f0 = x1, f1
         st, f2 = march(st, x2)
         x1, f1 = x2, f2
@@ -237,6 +244,10 @@ def real_gas_find_Tg_ensemble(states, scales, T_gs0, args, flux_thresh=0.1,
                   f' converged, T_g in [{x_np.min():.2f}, {x_np.max():.2f}]')
         if bool(done_np.all()):
             break
+    # hand back march-ready states: a converged trial's shrunk delta_t would
+    # restart follow-up marches ~10x slower (real_gas.py:781-784)
+    st = st.replace(t=jnp.zeros_like(st.t),
+                    net_flux=jnp.zeros_like(st.net_flux), tsi=tsi_fresh)
     return x1, st, {'converged': done, 'iterations': iters, 'residual': f1}
 
 

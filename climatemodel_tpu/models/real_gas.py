@@ -250,18 +250,19 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'n_snaps',
-                                             'conv_method', 'with_fluxes'))
+                                             'conv_method', 'with_fluxes',
+                                             'cache_dtype'))
 def _real_gas_evolve_snapshots(state: ColumnState, T_g, tau_interface,
                                ba: BandArrays, F_star_factor, delta, delta_lw,
                                delta_sw, p_interface, p_centre_col, flux_thresh,
                                n_snaps, convective_adjust=False, t_end=4.0,
                                conv_thresh=1e-5, conv_t_multiplier=5.0,
                                conv_method='reference', i0=0,
-                               with_fluxes=False):
+                               with_fluxes=False, cache_dtype=None):
     """Fused save-mode march: per-step snapshots of (t, T) and optionally the
     lw/sw-split flux sums the reference's save_data records
     (real_gas.py:720-746), pulled to the host one chunk at a time."""
-    cache = precompute_transmission(tau_interface, ba)
+    cache = precompute_transmission(tau_interface, ba, cache_dtype)
 
     def net_fn(T):
         up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
@@ -642,7 +643,8 @@ class RealGas:
                     convective_adjust=convective_adjust, t_end=t_end_chunk,
                     conv_thresh=conv_thresh,
                     conv_t_multiplier=conv_t_multiplier,
-                    conv_method=conv_method, i0=i0, with_fluxes=with_fluxes)
+                    conv_method=conv_method, i0=i0, with_fluxes=with_fluxes,
+                    cache_dtype=self.cache_dtype)
                 info_np, snaps_np = jax.device_get((info, snaps))
                 steps = np.asarray(snaps_np['steps'])
                 prev = i0

@@ -196,27 +196,46 @@ def ensure_earth_tables(output_folder=None, overwrite=False, verbose=False):
     write_uv_fixtures()
     digest = _fixture_digest()
     stamp_path = os.path.join(out, '_earth_fixture_stamp.json')
-    stamp = {'digest': None, 'built': []}
+    stamp = {}
     if os.path.isfile(stamp_path):
         try:
             with open(stamp_path) as f:
-                stamp = json.load(f)
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                stamp = loaded
         except (ValueError, OSError):
-            pass
-    stale = stamp['digest'] is not None and stamp['digest'] != digest
+            pass        # corrupt stamp: treat every existing table as foreign
+    old_digest = stamp.get('digest')
+    # 'built' maps table name -> crc of the file WE wrote; a user who dropped
+    # real spectroscopy over a fixture-built table changes that crc, and the
+    # mismatch protects their file from a fixture-driven rebuild.  (Older
+    # stamps stored a list — no hashes — so those entries rebuild on a
+    # digest change, the pre-hash semantics.)
+    built_map = stamp.get('built')
+    if isinstance(built_map, list):
+        built_map = {name: None for name in built_map}
+    elif not isinstance(built_map, dict):
+        built_map = {}
+    stale = old_digest is not None and old_digest != digest
+
+    def _crc(path):
+        with open(path, 'rb') as f:
+            return f'{zlib.crc32(f.read()):08x}'
+
     built = []
     for name in ('CO2', 'CH4', 'H2O', 'O3'):
         path = hitran.table_path(name, out)
-        if os.path.isfile(path) and not overwrite and \
-                not (stale and name in stamp['built']):
-            continue
+        if os.path.isfile(path) and not overwrite:
+            ours = name in built_map and built_map[name] in (None, _crc(path))
+            if not (stale and ours):
+                continue
         nu_min, nu_max = _NU_RANGE[name]
         wavenumbers = np.arange(nu_min, nu_max + hitran.table_dnu / 2,
                                 hitran.table_dnu)
         hitran.make_table(name, wavenumber_array=wavenumbers,
                           output_folder=out, overwrite=True, verbose=verbose)
+        built_map[name] = _crc(path)
         built.append(name)
     with open(stamp_path, 'w') as f:
-        json.dump({'digest': digest,
-                   'built': sorted(set(stamp['built']) | set(built))}, f)
+        json.dump({'digest': digest, 'built': built_map}, f)
     return out, built

@@ -83,6 +83,25 @@ def test_cli_real_gas_sweep_find_tg():
     assert rec['T_g'][1] > rec['T_g'][0]
 
 
+def test_cli_find_tg_requires_sweep():
+    with pytest.raises(SystemExit, match='requires --sweep'):
+        cli.main(['real-gas', '--find-tg'])
+
+
+def test_cli_sweep_writes_plot_and_out(tmp_path):
+    import contextlib
+    import io
+    plot = tmp_path / 'sweep.png'
+    out = tmp_path / 'sweep.npz'
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli.main(['real-gas', '--nz', '30', '--sweep', '2',
+                  '--flux-thresh', '0.5', '--plot', str(plot),
+                  '--out', str(out)])
+    assert plot.exists() and plot.stat().st_size > 0
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_cli_grey_end_to_end(tmp_path):
     """One fast end-to-end CLI march (small fixed grid, loose threshold)."""
     argv = ['grey', '--world', 'scale_height', '--nz', '40',

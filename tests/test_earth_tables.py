@@ -65,6 +65,32 @@ def test_fixture_change_invalidates_tables(lut_dir, monkeypatch):
     assert set(built3) == {'CO2', 'CH4', 'H2O', 'O3'}   # digest change: rebuild
 
 
+def test_user_dropped_table_survives_fixture_change(lut_dir, monkeypatch):
+    """A real table dropped over a fixture-built one (crc no longer matches
+    the stamp) must NOT be clobbered by a fixture-driven rebuild."""
+    _, built = earth_tables.ensure_earth_tables()
+    assert 'CO2' in built
+    co2_path = hitran.table_path('CO2', lut_dir)
+    user_bytes = b'USER SUPPLIED REAL SPECTROSCOPY'
+    with open(co2_path, 'wb') as f:
+        f.write(user_bytes)
+    monkeypatch.setattr(earth_tables, '_fixture_digest', lambda: 'cafebabe')
+    _, built2 = earth_tables.ensure_earth_tables()
+    assert 'CO2' not in built2                   # user file left alone
+    assert set(built2) == {'CH4', 'H2O', 'O3'}   # our tables rebuilt
+    with open(co2_path, 'rb') as f:
+        assert f.read() == user_bytes
+
+
+def test_corrupt_stamp_does_not_crash(lut_dir):
+    import os
+    earth_tables.ensure_earth_tables()
+    with open(os.path.join(lut_dir, '_earth_fixture_stamp.json'), 'w') as f:
+        f.write('{}')                            # schema-incomplete stamp
+    _, built = earth_tables.ensure_earth_tables()
+    assert built == []                           # treated as foreign, kept
+
+
 def test_ensure_earth_tables_and_column(lut_dir):
     """First-boot generation + the 4-gas earth column end-to-end, standalone."""
     out, built = earth_tables.ensure_earth_tables()
