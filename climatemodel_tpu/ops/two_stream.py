@@ -50,6 +50,51 @@ def affine_scan(a, b, x0, reverse=False):
     return out
 
 
+def _lw_scan_eval(T, dtau, up_toa, reverse=True):
+    """Associative-scan evaluation over trailing-batch arrays [nz-1, b]."""
+    e_plus = jnp.exp(dtau)
+    e_minus = jnp.exp(-dtau)
+    source = sigma * T ** 4
+    # channel axis 1: 0 = up-stream, 1 = down-stream
+    a = jnp.stack([e_plus, e_minus], 1)
+    b = jnp.stack([source * (1.0 - e_plus), source * (1.0 - e_minus)], 1)
+    x_toa = jnp.stack([jnp.broadcast_to(up_toa, T.shape[1:]).astype(T.dtype),
+                       jnp.zeros(T.shape[1:], T.dtype)])
+    flux = affine_scan(a, b, x_toa, reverse=reverse)
+    return flux[:, 0], flux[:, 1]
+
+
+# Batched executor with a custom vmap rule: ensemble-member batch axes
+# FLATTEN onto the trailing (lane) axis, so on TPU the whole batch reaches
+# the sequential Pallas kernel (ops/pallas_two_stream.py) in one launch
+# instead of the associative scan's many small stages — profiled at 4096
+# members x nz=60 the scan costs ~0.7 ms/step, ~40x its HBM traffic.
+@jax.custom_batching.custom_vmap
+def _lw_core(T, dtau, up_toa):
+    """[nz-1, b] cells (surface-first) -> (up, down) [nz, b] interfaces."""
+    if (jax.default_backend() == 'tpu' and T.dtype == jnp.float32
+            and T.shape[1] >= 8):
+        from .pallas_two_stream import lw_flux_lanes
+        return lw_flux_lanes(T, dtau, up_toa)
+    return _lw_scan_eval(T, dtau, up_toa, reverse=True)
+
+
+@_lw_core.def_vmap
+def _lw_core_vmap_rule(axis_size, in_batched, T, dtau, up_toa):
+    T_b, d_b, u_b = in_batched
+    if not T_b:
+        T = jnp.broadcast_to(T[None], (axis_size,) + T.shape)
+    if not d_b:
+        dtau = jnp.broadcast_to(dtau[None], (axis_size,) + dtau.shape)
+    if not u_b:
+        up_toa = jnp.broadcast_to(up_toa[None], (axis_size,) + up_toa.shape)
+    n, nlev, b0 = T.shape
+    flat = lambda x: jnp.moveaxis(x, 0, 1).reshape(nlev, n * b0)
+    up, down = _lw_core(flat(T), flat(dtau), up_toa.reshape(n * b0))
+    unflat = lambda x: jnp.moveaxis(x.reshape(nlev + 1, n, b0), 1, 0)
+    return (unflat(up), unflat(down)), (True, True)
+
+
 def lw_flux(T, dtau, up_flux_toa, surface_first=True):
     """Grey long-wave up/down fluxes at interfaces from cell temperatures.
 
@@ -61,19 +106,17 @@ def lw_flux(T, dtau, up_flux_toa, surface_first=True):
         model: index 0 = surface, index nz-1 = TOA).
     :return: (up_lw_flux, down_lw_flux) at interfaces, shape [nz, ...].
     """
-    e_plus = jnp.exp(dtau)
-    e_minus = jnp.exp(-dtau)
-    source = sigma * T ** 4
-    # channel axis: 0 = up-stream, 1 = down-stream
-    a = jnp.stack([e_plus, e_minus])
-    b = jnp.stack([source * (1.0 - e_plus), source * (1.0 - e_minus)])
-    x_toa = jnp.stack([jnp.broadcast_to(up_flux_toa, T.shape[1:]),
-                       jnp.zeros(T.shape[1:], T.dtype)])
-    flux = affine_scan(jnp.moveaxis(a, 0, 1), jnp.moveaxis(b, 0, 1), x_toa,
-                       reverse=surface_first)
-    up = flux[:, 0]
-    down = flux[:, 1]
-    return up, down
+    if not surface_first:
+        # TOA-first orientation (the level-sharded pp path): scan form
+        return _lw_scan_eval(T, dtau, up_flux_toa, reverse=False)
+    batch_shape = T.shape[1:]
+    nlev = T.shape[0]
+    Tf = T.reshape(nlev, -1)
+    dtauf = jnp.broadcast_to(dtau, T.shape).reshape(nlev, -1)
+    toaf = jnp.broadcast_to(up_flux_toa, batch_shape).astype(T.dtype)
+    up, down = _lw_core(Tf, dtauf, toaf.reshape(-1))
+    return (up.reshape((nlev + 1,) + batch_shape),
+            down.reshape((nlev + 1,) + batch_shape))
 
 
 def lw_flux_sequential(T, dtau, up_flux_toa, surface_first=True):

@@ -77,3 +77,35 @@ def test_sw_flux_beer_law():
     up_i, down_i = sw_flux(tau_sw, albedo_mod, sol, F, isothermal=True)
     assert np.allclose(np.asarray(up_i), np.asarray(albedo_mod * sol * F / 4))
     assert np.ptp(np.asarray(down_i), axis=0).max() == 0
+
+
+def test_pallas_lw_kernel_bit_matches_sequential():
+    """The lane-batched Pallas lw kernel (interpret mode on CPU) reproduces
+    the reference's sequential composition order bit-for-bit
+    (ops/pallas_two_stream.py)."""
+    from climatemodel_tpu.ops.pallas_two_stream import lw_flux_lanes
+    rng = np.random.default_rng(2)
+    for n, b in [(59, 7), (24, 130)]:
+        T = jnp.asarray(200 + 100 * rng.random((n, b)), jnp.float32)
+        dtau = jnp.asarray(0.2 * rng.random((n, b)), jnp.float32)
+        toa = jnp.asarray(200 + 50 * rng.random((b,)), jnp.float32)
+        us, ds = lw_flux_sequential(T, dtau, toa)
+        uk, dk = lw_flux_lanes(T, dtau, toa, interpret=True)
+        assert bool(jnp.all(us == uk) & jnp.all(ds == dk)), (n, b)
+
+
+def test_lw_flux_nested_vmap_flattens():
+    """Member-vmapped lw_flux (the ensemble path) merges batch axes through
+    the custom_vmap rule and matches per-member evaluation."""
+    import jax
+    rng = np.random.default_rng(4)
+    n, members, ny = 20, 5, 3
+    T = jnp.asarray(220 + 60 * rng.random((members, n, ny)))
+    dtau = jnp.asarray(0.15 * rng.random((members, n, ny)))
+    toa = jnp.asarray(200 + 40 * rng.random((members, ny)))
+    up_v, down_v = jax.vmap(lw_flux)(T, dtau, toa)
+    for m in range(members):
+        up_m, down_m = lw_flux(T[m], dtau[m], toa[m])
+        np.testing.assert_array_equal(np.asarray(up_v[m]), np.asarray(up_m))
+        np.testing.assert_array_equal(np.asarray(down_v[m]),
+                                      np.asarray(down_m))
