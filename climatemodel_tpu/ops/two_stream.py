@@ -112,6 +112,9 @@ def lw_flux(T, dtau, up_flux_toa, surface_first=True):
     batch_shape = T.shape[1:]
     nlev = T.shape[0]
     Tf = T.reshape(nlev, -1)
+    dtau = jnp.asarray(dtau)
+    while dtau.ndim < T.ndim:                   # column-shared [nz-1] dtau
+        dtau = dtau[..., None]
     dtauf = jnp.broadcast_to(dtau, T.shape).reshape(nlev, -1)
     toaf = jnp.broadcast_to(up_flux_toa, batch_shape).astype(T.dtype)
     up, down = _lw_core(Tf, dtauf, toaf.reshape(-1))

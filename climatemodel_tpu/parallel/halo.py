@@ -14,7 +14,10 @@ the halo + physical boundary rules).  Static geometry (Coriolis, orography)
 is pre-padded per shard on the host so ghost-column *construction* values match
 the unsharded model exactly.  Equality with the unsharded step is exact because
 (a) every ghost value of the reference BCs is a copy of an interior value, and
-(b) no scheme stencil ever reads a ghost corner (verified in tests).
+(b) of the four schemes only maccormack reads ghost corners — the 1-D
+decomposition reproduces the reference's periodic-y corner rules (incl. the
+``f[-1,-1]=f[-2,-1]`` quirk) on the edge shards; the 2-D decomposition
+refuses maccormack+periodic-y (corners would need diagonal-neighbour halos).
 """
 from __future__ import annotations
 
@@ -67,6 +70,37 @@ def _pad_x(f, axis_name, bx, wall_value=None):
     return jnp.concatenate([left, f, right], axis=0)
 
 
+def _wind_stress(wind_type, t, tau0, fluct, forced):
+    """Compose the wind stress from its parts (shallow_water.py:272-308 /
+    el_nino_seasonal_wind); shared by the 1-D and 2-D sharded steps."""
+    t_year = 365 * 24 * 60 ** 2
+    seasonal = fluct * jnp.sin(t * 2 * jnp.pi / t_year)
+    if wind_type == 'seasonal':
+        return tau0 + seasonal
+    if wind_type == 'seasonal_forced':
+        return forced + seasonal
+    if wind_type == 'forced':
+        return forced
+    raise ValueError(f'wind type {wind_type!r} not valid')
+
+
+def _fix_corners_periodic_y(fp, axis_name):
+    """Reference periodic-y ghost-CORNER rules on the global-edge shards
+    (shallow_water.py:428-436, applied after the x rules so they win):
+    f[0,0]=f[1,-2], f[0,-1]=f[1,1], f[-1,0]=f[-2,-2], and the reference's own
+    quirk f[-1,-1]=f[-2,-1] (whose value per_y already set to f[-2,1]).
+    Middle shards' padded columns are interior columns whose y-ghost rows
+    follow the plain per_y rule — the halo already carries those."""
+    n = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    L = fp.shape[0] - 2
+    fp = fp.at[0, 0].set(jnp.where(i == 0, fp[1, -2], fp[0, 0]))
+    fp = fp.at[0, -1].set(jnp.where(i == 0, fp[1, 1], fp[0, -1]))
+    fp = fp.at[L + 1, 0].set(jnp.where(i == n - 1, fp[L, -2], fp[L + 1, 0]))
+    fp = fp.at[L + 1, -1].set(jnp.where(i == n - 1, fp[L, -1], fp[L + 1, -1]))
+    return fp
+
+
 def _apply_y_bc(h, u, v, by):
     """Local y boundary conditions on the ghost rows (shallow_water.py:427-443).
     Works on interior-x blocks: every column applies the same rule."""
@@ -101,6 +135,12 @@ def make_sharded_step(mesh: Mesh, axis_name='x', solver='richtmyer',
         hp = _pad_x(h, axis_name, bx)
         up = _pad_x(u, axis_name, bx, wall_value=0.0 if bx == 'walls' else None)
         vp = _pad_x(v, axis_name, bx)
+        if by == 'periodic':
+            # maccormack reads ghost corners; the reference's per_y corner
+            # rules override whatever the x rules wrote there
+            hp = _fix_corners_periodic_y(hp, axis_name)
+            up = _fix_corners_periodic_y(up, axis_name)
+            vp = _fix_corners_periodic_y(vp, axis_name)
         U = sw.get_conservative_form(hp, up, vp, linear)
         flux_x = sw.make_flux_x(g, h_mean, linear)
         flux_y = sw.make_flux_y(g, h_mean, linear)
@@ -117,8 +157,7 @@ def make_sharded_step(mesh: Mesh, axis_name='x', solver='richtmyer',
         v_new = v_new - r_int * dt * v
         if wind_type not in (None, 'unforced'):
             if wind_type == 'seasonal':
-                t_year = 365 * 24 * 60 ** 2
-                wind = wind_tau0 + wind_fluct * jnp.sin(t * 2 * jnp.pi / t_year)
+                forced = None
             else:
                 # BC-consistent h for the boundary averages: y ghosts refreshed,
                 # x ghost contributions folded into the precomputed weights
@@ -128,11 +167,7 @@ def make_sharded_step(mesh: Mesh, axis_name='x', solver='richtmyer',
                 h_west = lax.psum(jnp.sum(h_bc * west_w), axis_name) / \
                     lax.psum(jnp.sum(west_w), axis_name)
                 forced = wind_gamma * (h_east - h_west)
-                if wind_type == 'seasonal_forced':
-                    t_year = 365 * 24 * 60 ** 2
-                    wind = forced + wind_fluct * jnp.sin(t * 2 * jnp.pi / t_year)
-                else:
-                    wind = forced
+            wind = _wind_stress(wind_type, t, wind_tau0, wind_fluct, forced)
             u_new = u_new + wind * dt
         h_new, u_new, v_new = _apply_y_bc(h_new, u_new, v_new, by)
         h_new = jnp.where(ok, h_new, h)
@@ -154,6 +189,16 @@ class ShardedShallowWater:
         self.world = world
         self.mesh = mesh
         self.axis_name = axis_name
+        # the fused Pallas kernel is a single-device fast path; the sharded
+        # step runs the same richtmyer scheme through the jnp stencils
+        self.solver = ('richtmyer' if world.numerical_solver
+                       == 'richtmyer_pallas' else world.numerical_solver)
+        if world.wind_type is not None and \
+                world.boundary_type['y'] == 'periodic':
+            raise NotImplementedError(
+                'ghost-corner mask folding for the wind averages is exact '
+                'only for walls-y (the periodic-y corner rules source from '
+                'x-interior columns)')
         n_shards = mesh.shape[axis_name]
         nxi = world.nx - 2
         if nxi % n_shards:
@@ -161,6 +206,7 @@ class ShardedShallowWater:
                              f'{n_shards} shards')
         self.n_shards = n_shards
         self.local_nx = nxi // n_shards
+        self._compiled = {}
         d = world.dtype
 
         # per-shard padded static geometry: block b covers global ghost-grid
@@ -205,17 +251,19 @@ class ShardedShallowWater:
     def _step_fn(self, target_courant=0.1):
         wld = self.world
         body = make_sharded_step(self.mesh, self.axis_name,
-                                 solver=wld.numerical_solver, linear=wld.linear,
+                                 solver=self.solver, linear=wld.linear,
                                  bx=wld.boundary_type['x'],
                                  by=wld.boundary_type['y'],
                                  wind_type=wld.wind_type,
                                  target_courant=target_courant)
         return body
 
-    def run(self, nt, target_courant=0.1):
-        """Run nt steps sharded; updates the wrapped world's state in place."""
-        wld = self.world
-        d = wld.dtype
+    def _simulate_fn(self, nt, target_courant):
+        """Build (and cache) the shard_map'd nt-step program: a fresh closure
+        per run() would re-trace and re-compile the whole scan every call."""
+        key = (nt, target_courant)
+        if key in self._compiled:
+            return self._compiled[key]
         ax = self.axis_name
         sharded = P(ax, None)
         rep = P()
@@ -224,6 +272,7 @@ class ShardedShallowWater:
                    rep, rep, rep, rep, rep, rep, rep, sharded, sharded)
         body = self._step_fn(target_courant)
 
+        @jax.jit
         @functools.partial(shard_map, mesh=self.mesh, in_specs=spec_in,
                            out_specs=(sharded, sharded, sharded, rep, rep, rep))
         def simulate(h, u, v, t, dt0, dt_prev, f_cor_pad, h_base_pad, r_int,
@@ -242,6 +291,14 @@ class ShardedShallowWater:
             (h, u, v, t, dt, ok), _ = lax.scan(scan_body, init, None, length=nt)
             return h, u, v, t, dt, ok
 
+        self._compiled[key] = simulate
+        return simulate
+
+    def run(self, nt, target_courant=0.1):
+        """Run nt steps sharded; updates the wrapped world's state in place."""
+        wld = self.world
+        d = wld.dtype
+        simulate = self._simulate_fn(nt, target_courant)
         st = wld.state
         h, u, v, t, dt, ok = simulate(
             st.h[1:-1], st.u[1:-1], st.v[1:-1], st.t,
@@ -249,8 +306,6 @@ class ShardedShallowWater:
             self.r_int, jnp.asarray(wld.g, d), jnp.asarray(wld.h_mean, d),
             jnp.asarray(wld.dx, d), jnp.asarray(wld.dy, d), self.wind_gamma,
             self.wind_tau0, self.wind_fluct, self.east_w, self.west_w)
-        if not bool(ok):
-            raise ValueError('time step very small')
         # write back: reconstruct global ghost columns with the standard BCs
         h_full = jnp.concatenate([h[:1], h, h[-1:]], axis=0)
         u_full = jnp.concatenate([u[:1], u, u[-1:]], axis=0)
@@ -258,9 +313,13 @@ class ShardedShallowWater:
         h_full, u_full, v_full = sw.apply_boundary_conditions(
             h_full, u_full, v_full, wld.boundary_type['x'],
             wld.boundary_type['y'])
+        # commit the (frozen-at-abort) state BEFORE raising, like the
+        # unsharded run — callers inspect world.dt / resume after catching
         wld._state = st.replace(h=h_full.astype(d), u=u_full.astype(d),
                                 v=v_full.astype(d), t=t, dt=dt,
                                 ok=st.ok & ok)
+        if not bool(ok):
+            raise ValueError('time step very small')
         return wld._state
 
 
@@ -340,8 +399,7 @@ def make_sharded_step_2d(ax_x='x', ax_y='y', solver='richtmyer', linear=False,
         v_new = v_new - r_int * dt * v
         if wind_type not in (None, 'unforced'):
             if wind_type == 'seasonal':
-                t_year = 365 * 24 * 60 ** 2
-                wind = wind_tau0 + wind_fluct * jnp.sin(t * 2 * jnp.pi / t_year)
+                forced = None
             else:
                 def gsum(x):
                     s = jnp.sum(x)
@@ -351,12 +409,7 @@ def make_sharded_step_2d(ax_x='x', ax_y='y', solver='richtmyer', linear=False,
                 h_east = gsum(h_new * east_w) / gsum(east_w)
                 h_west = gsum(h_new * west_w) / gsum(west_w)
                 forced = wind_gamma * (h_east - h_west)
-                if wind_type == 'seasonal_forced':
-                    t_year = 365 * 24 * 60 ** 2
-                    wind = forced + wind_fluct * jnp.sin(t * 2 * jnp.pi
-                                                         / t_year)
-                else:
-                    wind = forced
+            wind = _wind_stress(wind_type, t, wind_tau0, wind_fluct, forced)
             u_new = u_new + wind * dt
         h_new = jnp.where(ok, h_new, h)
         u_new = jnp.where(ok, u_new, u)
@@ -374,6 +427,20 @@ class ShardedShallowWater2D:
         self.world = world
         self.mesh = mesh
         self.ax_x, self.ax_y = ax_x, ax_y
+        self.solver = ('richtmyer' if world.numerical_solver
+                       == 'richtmyer_pallas' else world.numerical_solver)
+        if self.solver == 'maccormack' and \
+                world.boundary_type['y'] == 'periodic':
+            raise NotImplementedError(
+                'maccormack reads ghost corners; the periodic-y corner rules '
+                'need diagonal-neighbour halos the 2-D decomposition does not '
+                'exchange — use the 1-D decomposition or another scheme')
+        if world.wind_type is not None and \
+                world.boundary_type['y'] == 'periodic':
+            raise NotImplementedError(
+                'ghost-corner mask folding for the wind averages is exact '
+                'only for walls-y')
+        self._compiled = {}
         px, py = mesh.shape[ax_x], mesh.shape[ax_y]
         nxi, nyi = world.nx - 2, world.ny - 2
         if nxi % px or nyi % py:
@@ -423,22 +490,27 @@ class ShardedShallowWater2D:
         w2[:, 0 if by == 'periodic' else (ny - 3)] += w1[:, -1]
         return w2
 
-    def run(self, nt, target_courant=0.1):
+    def _simulate_fn(self, nt, target_courant):
+        """Build (and cache) the shard_map'd nt-step program (a fresh closure
+        per run() would recompile the whole scan every call)."""
+        key = (nt, target_courant)
+        if key in self._compiled:
+            return self._compiled[key]
         wld = self.world
-        d = wld.dtype
         ax_x, ax_y = self.ax_x, self.ax_y
         shard2 = P(ax_x, ax_y)
         geom = P(ax_x, ax_y, None, None)
         rep = P()
         spec_in = (shard2, shard2, shard2, rep, rep, rep, geom, geom, shard2,
                    rep, rep, rep, rep, rep, rep, rep, shard2, shard2)
-        body = make_sharded_step_2d(ax_x, ax_y, solver=wld.numerical_solver,
+        body = make_sharded_step_2d(ax_x, ax_y, solver=self.solver,
                                     linear=wld.linear,
                                     bx=wld.boundary_type['x'],
                                     by=wld.boundary_type['y'],
                                     wind_type=wld.wind_type,
                                     target_courant=target_courant)
 
+        @jax.jit
         @functools.partial(shard_map, mesh=self.mesh, in_specs=spec_in,
                            out_specs=(shard2, shard2, shard2, rep, rep, rep))
         def simulate(h, u, v, t, dt0, dt_prev, f_cor_pad, h_base_pad, r_int,
@@ -457,6 +529,13 @@ class ShardedShallowWater2D:
             (h, u, v, t, dt, ok), _ = lax.scan(scan_body, init, None, length=nt)
             return h, u, v, t, dt, ok
 
+        self._compiled[key] = simulate
+        return simulate
+
+    def run(self, nt, target_courant=0.1):
+        wld = self.world
+        d = wld.dtype
+        simulate = self._simulate_fn(nt, target_courant)
         st = wld.state
         h, u, v, t, dt, ok = simulate(
             st.h[1:-1, 1:-1], st.u[1:-1, 1:-1], st.v[1:-1, 1:-1], st.t,
@@ -464,15 +543,16 @@ class ShardedShallowWater2D:
             self.r_int, jnp.asarray(wld.g, d), jnp.asarray(wld.h_mean, d),
             jnp.asarray(wld.dx, d), jnp.asarray(wld.dy, d), self.wind_gamma,
             self.wind_tau0, self.wind_fluct, self.east_w, self.west_w)
-        if not bool(ok):
-            raise ValueError('time step very small')
         pad = ((1, 1), (1, 1))
-        h_full = jnp.asarray(np.pad(np.asarray(h), pad, mode='edge'))
-        u_full = jnp.asarray(np.pad(np.asarray(u), pad, mode='edge'))
-        v_full = jnp.asarray(np.pad(np.asarray(v), pad, mode='edge'))
+        # device-side padding: host round trips cost ~25 ms per sync on axon
+        h_full = jnp.pad(h, pad, mode='edge')
+        u_full = jnp.pad(u, pad, mode='edge')
+        v_full = jnp.pad(v, pad, mode='edge')
         h_full, u_full, v_full = sw.apply_boundary_conditions(
             h_full, u_full, v_full, wld.boundary_type['x'],
             wld.boundary_type['y'])
         wld._state = st.replace(h=h_full.astype(d), u=u_full.astype(d),
                                 v=v_full.astype(d), t=t, dt=dt, ok=st.ok & ok)
+        if not bool(ok):
+            raise ValueError('time step very small')
         return wld._state

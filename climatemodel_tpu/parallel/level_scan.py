@@ -104,6 +104,10 @@ def lw_flux_level_sharded(T, dtau, up_flux_toa, mesh, axis_name,
     grey.py:251-275).  Both streams ride one pipelined scan via a trailing
     channel axis.
     """
+    dtau = jnp.asarray(dtau)
+    while dtau.ndim < T.ndim:                  # column-shared dtau, like lw_flux
+        dtau = dtau[..., None]
+    dtau = jnp.broadcast_to(dtau, T.shape)
     e_plus = jnp.exp(dtau)
     e_minus = jnp.exp(-dtau)
     source = sigma * T ** 4

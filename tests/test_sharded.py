@@ -161,3 +161,63 @@ def test_sharded_affine_scan_rejects_uneven_levels():
     a = jax.numpy.ones((10, 1))
     with pytest.raises(ValueError, match='not divisible'):
         sharded_affine_scan(a, a, jax.numpy.ones((1,)), mesh, 'lev')
+
+
+@pytest.mark.parametrize('bx,by', [('walls', 'periodic'),
+                                   ('periodic', 'periodic')])
+def test_sharded_maccormack_periodic_y_matches(bx, by):
+    """maccormack is the one scheme that reads ghost CORNERS; the sharded
+    step must reproduce the reference's periodic-y corner rules (incl. the
+    f[-1,-1]=f[-2,-1] quirk) on the edge shards."""
+    kw = dict(GRAV, boundary_type={'x': bx, 'y': by},
+              numerical_solver='maccormack')
+    ref = ShallowWater(**kw)
+    ref.run(nt=40, snapshots=False)
+    world = ShallowWater(**kw)
+    ShardedShallowWater(world, _mesh(8)).run(nt=40)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+    np.testing.assert_allclose(world.v, ref.v, atol=1e-12)
+
+
+def test_sharded_accepts_pallas_solver_name():
+    """Wrapping a richtmyer_pallas world must not KeyError: the sharded step
+    downgrades to the identical jnp richtmyer scheme."""
+    kw = dict(GRAV, boundary_type={'x': 'periodic', 'y': 'walls'})
+    ref = ShallowWater(**kw)                        # richtmyer default
+    ref.run(nt=10, snapshots=False)
+    world = ShallowWater(**kw, numerical_solver='richtmyer')
+    sh = ShardedShallowWater(world, _mesh(4))
+    assert sh.solver == 'richtmyer'
+    sh.run(nt=10)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_2d_rejects_maccormack_periodic_y():
+    from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
+    from jax.sharding import Mesh
+    kw = dict(GRAV, boundary_type={'x': 'periodic', 'y': 'periodic'},
+              numerical_solver='maccormack')
+    world = ShallowWater(**kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ('x', 'y'))
+    with pytest.raises(NotImplementedError, match='corner'):
+        ShardedShallowWater2D(world, mesh)
+
+
+def test_level_sharded_flux_with_shared_dtau():
+    """dtau of shape [nz-1] (column-shared) must broadcast like lw_flux."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.parallel.level_scan import lw_flux_level_sharded
+    from climatemodel_tpu.ops.two_stream import lw_flux
+    from jax.sharding import Mesh
+    rng = np.random.default_rng(0)
+    n_lev, ny = 16, 3
+    T = jnp.asarray(220 + 50 * rng.random((n_lev, ny)))
+    dtau = jnp.asarray(0.1 * rng.random((n_lev,)))
+    toa = jnp.asarray(200 + 20 * rng.random((ny,)))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ('lev',))
+    up_s, down_s = lw_flux_level_sharded(T, dtau, toa, mesh, 'lev')
+    up, down = lw_flux(T, dtau, toa)
+    np.testing.assert_allclose(np.asarray(up_s), np.asarray(up), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(down_s), np.asarray(down),
+                               rtol=1e-10)
