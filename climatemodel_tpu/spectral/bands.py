@@ -44,8 +44,7 @@ def get_wavenumber_array(T_g, T_star, d_nu, fract_to_ignore=0.001,
 def get_equal_bands(nu, B, n_bands):
     """Split nu into n_bands of ~equal cumulative normalised flux
     (real_gas.py:347-362)."""
-    B_norm = B / B.max()
-    B_norm = B_norm.copy()
+    B_norm = B / B.max()            # fresh array: safe to mutate below
     # fold the post-peak decrease into a monotone increase
     B_norm[B_norm.argmax():] = 1 + (1 - B_norm[B_norm.argmax():])
     B_norm = B_norm - B_norm.min()

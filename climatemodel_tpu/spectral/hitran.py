@@ -109,7 +109,11 @@ def get_absorption_coefficient(p, T, wavenumber_array, molecule_data,
     """
     if backend == 'auto':
         from .. import native
-        backend = 'native' if native.available() else 'jax'
+        # numpy when the C++ library is absent but x64 is off: the jax path
+        # would accumulate the persisted tables in f32 (≈1e-7 relative error,
+        # enough to perturb nz='auto' grid construction)
+        backend = 'native' if native.available() else \
+            ('jax' if jax.config.jax_enable_x64 else 'numpy')
     if backend == 'native':
         from .. import native
         hck = 100.0 * h_planck * speed_of_light / k_boltzmann
@@ -131,54 +135,93 @@ def get_absorption_coefficient(p, T, wavenumber_array, molecule_data,
     nair_l = np.asarray(molecule_data['n_air'], dtype=np.float64)
 
     # per-line window half-size in bins, from the max gamma over the p column
-    gamma_all = gamma_extrapolate(p[:, None], T[:, None], gam_l[None, :],
-                                  nair_l[None, :])          # [np, L]
-    n_w = (n_line_widths * np.asarray(gamma_all).max(axis=0) / d_nu).astype(int)
+    gamma_all = np.asarray(gam_l[None, :] * (p[:, None] / p_reference)
+                           * (T_reference / T[:, None]) ** nair_l[None, :])
+    n_w = (n_line_widths * gamma_all.max(axis=0) / d_nu).astype(int)
     W = int(min(2 * n_w.max() + 1, 2 * n_nu + 1))
-    centre = np.abs(nu_grid[None, :] - nu_l[:, None]).argmin(axis=1)  # [L]
+    # nearest grid bin per line centre, ties to the lower index like argmin —
+    # O(L log n) instead of materialising the [L, n_nu] distance matrix
+    mid = 0.5 * (nu_grid[:-1] + nu_grid[1:])
+    centre = np.searchsorted(mid, nu_l, side='left')                  # [L]
+
+    if backend == 'numpy':
+        return _accumulate_numpy(p, T, nu_grid, nu_l, sw_l, gam_l, nair_l,
+                                 centre, n_w, W, chunk)
 
     rel = jnp.arange(W) - W // 2                                      # [W]
     p_j = jnp.asarray(p)
     T_j = jnp.asarray(T)
     nu_grid_j = jnp.asarray(nu_grid)
 
-    def chunk_contribution(args):
-        nu_c, s_ref, g_ref, n_air, c_idx, half = args                # [C]
-        idx = c_idx[:, None] + rel[None, :]                          # [C, W]
-        in_win = (jnp.abs(rel)[None, :] <= half[:, None]) & \
-            (idx >= 0) & (idx <= n_nu - 1)
-        idx_c = jnp.clip(idx, 0, n_nu - 1)
-        gamma = gamma_extrapolate(p_j[:, None], T_j[:, None],
-                                  g_ref[None, :], n_air[None, :])    # [np, C]
-        strength = s_extrapolate(T_j[:, None], s_ref[None, :],
-                                 nu_c[None, :], n_air[None, :])      # [np, C]
-        shape = lorentzian_profile(nu_grid_j[idx_c][None],            # [1, C, W]
-                                   nu_c[None, :, None],
-                                   gamma[:, :, None])                 # [np, C, W]
-        vals = strength[:, :, None] * shape * in_win[None]
-        return idx_c, vals
-
-    @jax.jit
-    def accumulate(acc, args):
-        idx_c, vals = chunk_contribution(args)
-        C, Wd = idx_c.shape
-        return acc.at[:, idx_c.reshape(-1)].add(
-            vals.reshape(vals.shape[0], C * Wd))
-
     acc = jnp.zeros((p.size, n_nu), jnp.float64 if
                     jax.config.jax_enable_x64 else jnp.float32)
     for s in range(0, L, chunk):
         e = min(s + chunk, L)
-        pad = chunk - (e - s)
         def padded(a, fill=0):
             out = np.full((chunk,), fill, dtype=a.dtype)
             out[:e - s] = a[s:e]
             return jnp.asarray(out)
-        args = (padded(nu_l, fill=nu_grid[0]), padded(sw_l), padded(gam_l, 1e-6),
-                padded(nair_l), padded(centre.astype(np.int32)),
-                padded(n_w.astype(np.int32), fill=-1))
-        acc = accumulate(acc, args)
+        acc = _accumulate_jax(
+            acc, p_j, T_j, nu_grid_j, rel,
+            padded(nu_l, fill=nu_grid[0]), padded(sw_l), padded(gam_l, 1e-6),
+            padded(nair_l), padded(centre.astype(np.int32)),
+            padded(n_w.astype(np.int32), fill=-1))
     return np.asarray(acc)
+
+
+# module-level (not a per-call closure: jit caches by function identity, so a
+# closure re-jitted per call would recompile the identical-shape scatter-add
+# for every T row of every make_table)
+@jax.jit
+def _accumulate_jax(acc, p_j, T_j, nu_grid_j, rel, nu_c, s_ref, g_ref, n_air,
+                    c_idx, half):
+    n_nu = acc.shape[1]
+    idx = c_idx[:, None] + rel[None, :]                          # [C, W]
+    in_win = (jnp.abs(rel)[None, :] <= half[:, None]) & \
+        (idx >= 0) & (idx <= n_nu - 1)
+    idx_c = jnp.clip(idx, 0, n_nu - 1)
+    gamma = gamma_extrapolate(p_j[:, None], T_j[:, None],
+                              g_ref[None, :], n_air[None, :])    # [np, C]
+    strength = s_extrapolate(T_j[:, None], s_ref[None, :],
+                             nu_c[None, :], n_air[None, :])      # [np, C]
+    shape = lorentzian_profile(nu_grid_j[idx_c][None],            # [1, C, W]
+                               nu_c[None, :, None],
+                               gamma[:, :, None])                 # [np, C, W]
+    vals = strength[:, :, None] * shape * in_win[None]
+    C, Wd = idx_c.shape
+    return acc.at[:, idx_c.reshape(-1)].add(
+        vals.reshape(vals.shape[0], C * Wd))
+
+
+def _accumulate_numpy(p, T, nu_grid, nu_l, sw_l, gam_l, nair_l, centre, n_w,
+                      W, chunk):
+    """Host float64 accumulation (the non-x64 fallback): same windowed
+    Lorentzian math as the jax/native backends, np.add.at scatter."""
+    n_nu = nu_grid.size
+    hck = 100.0 * h_planck * speed_of_light / k_boltzmann
+    rel = np.arange(W) - W // 2
+    acc = np.zeros((p.size, n_nu))
+    L = nu_l.size
+    for s in range(0, L, chunk):
+        e = min(s + chunk, L)
+        nu_c, s_ref = nu_l[s:e], sw_l[s:e]
+        g_ref, n_air = gam_l[s:e], nair_l[s:e]
+        c_idx, half = centre[s:e], n_w[s:e]
+        idx = c_idx[:, None] + rel[None, :]                      # [C, W]
+        in_win = (np.abs(rel)[None, :] <= half[:, None]) & \
+            (idx >= 0) & (idx <= n_nu - 1)
+        idx_c = np.clip(idx, 0, n_nu - 1)
+        gamma = g_ref[None, :] * (p[:, None] / p_reference) * \
+            (T_reference / T[:, None]) ** n_air[None, :]         # [np, C]
+        strength = s_ref[None, :] * (T[:, None] / T_reference) ** \
+            n_air[None, :] * np.exp(-hck * nu_c[None, :]
+                                    * (1 / T[:, None] - 1 / T_reference))
+        shape = (1.0 / np.pi) * gamma[:, :, None] / (
+            gamma[:, :, None] ** 2
+            + (nu_grid[idx_c][None] - nu_c[None, :, None]) ** 2)
+        vals = strength[:, :, None] * shape * in_win[None]
+        np.add.at(acc, (np.arange(p.size)[:, None, None], idx_c[None]), vals)
+    return acc
 
 
 # --------------------------------------------------------------------------
@@ -396,15 +439,20 @@ def plot_absorption_coefficient(molecule_name, p_plot, T_plot, ax=None,
 def make_single_line_table(output_folder=None, overwrite=True):
     """Toy gas: one wide strong line at the Planck peak
     (real_gas_script.py:16-25)."""
+    folder = output_folder or lookup_table_folder()
+    final = table_path('single_line', folder)
+    # the overwrite guard must protect the FINAL file: make_table writes the
+    # 'custom' temp name and os.replace would clobber single_line.npy
+    if os.path.isfile(final) and not overwrite:
+        raise ValueError('Lookuptable file already exists')
     line = {'nu': np.array([525.0]), 'sw': np.array([500.0]),
             'gamma_air': np.array([0.1]), 'n_air': np.array([0.7])}
     table = make_table(line, wavenumber_array=np.arange(320, 722, 10,
                                                         dtype=float),
                        p_array=np.array([p_reference]),
                        T_array=np.array([T_reference]),
-                       output_folder=output_folder, overwrite=overwrite)
-    folder = output_folder or lookup_table_folder()
-    os.replace(table_path('custom', folder), table_path('single_line', folder))
+                       output_folder=output_folder, overwrite=True)
+    os.replace(table_path('custom', folder), final)
     return table
 
 

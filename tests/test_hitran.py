@@ -160,3 +160,37 @@ def test_native_backend_matches_jax_and_reference(tmp_path):
     data = hitran.load_molecule_data('CO2', data_folder=str(tmp_path))
     assert (np.asarray(data['nu']).size
             == (np.arange(500) % 3 != 0).sum())
+
+
+def test_numpy_backend_matches_jax():
+    """The host-f64 accumulation (the non-x64 'auto' fallback) matches the
+    jax backend (f64 under the test config) to float64 precision."""
+    rng = np.random.default_rng(6)
+    L = 40
+    lines = {'nu': np.sort(rng.uniform(350, 700, L)),
+             'sw': rng.uniform(1.0, 100.0, L),
+             'gamma_air': rng.uniform(0.05, 0.2, L),
+             'n_air': rng.uniform(0.5, 0.8, L)}
+    p = np.logspace(5, 3, 5)
+    T = np.array([250.0, 290.0, 330.0])
+    nu = np.arange(300.0, 755.0, 10.0)
+    a = hitran.get_absorption_coefficient(p, T[0:1], nu, lines, backend='jax')
+    b = hitran.get_absorption_coefficient(p, T[0:1], nu, lines,
+                                          backend='numpy')
+    np.testing.assert_allclose(b, a, rtol=1e-12)
+
+
+def test_single_line_overwrite_guard(tmp_path):
+    """overwrite=False must protect the FINAL single_line.npy (a stale
+    'custom' temp must neither block nor be required)."""
+    hitran.make_single_line_table(output_folder=str(tmp_path))
+    target = hitran.table_path('single_line', str(tmp_path))
+    with open(target, 'wb') as f:
+        f.write(b'USER DATA')
+    with pytest.raises(ValueError, match='already exists'):
+        hitran.make_single_line_table(output_folder=str(tmp_path),
+                                      overwrite=False)
+    with open(target, 'rb') as f:
+        assert f.read() == b'USER DATA'
+    hitran.make_single_line_table(output_folder=str(tmp_path), overwrite=True)
+    assert np.load(target, allow_pickle=True).item()['nu'].size > 0
