@@ -248,10 +248,12 @@ def atmosphere_wind(params: SWParams, h_bc, t, wind_type, east_mask=None,
 # The compiled step
 # --------------------------------------------------------------------------
 
+# row_geometry is accepted for _step_kwargs compatibility but NOT static:
+# sw_step never reads it (only the frame path in sw_simulate does), and a
+# static unused flag would compile two identical programs per configuration
 @functools.partial(jax.jit, static_argnames=('solver', 'linear', 'bx', 'by',
                                              'wind_type', 'target_courant',
-                                             'flat_orography',
-                                             'row_geometry'))
+                                             'flat_orography'))
 def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
             bx='periodic', by='walls', wind_type=None, target_courant=0.1,
             flat_orography=False, row_geometry=False):
@@ -266,6 +268,9 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
     ok = state.ok & (dt >= 10.0)
 
     if solver == 'richtmyer_pallas':
+        if linear:
+            raise ValueError('richtmyer_pallas supports the nonlinear '
+                             'equations only (use richtmyer for linear=True)')
         # fused Pallas TPU kernel: one HBM pass per step including damping and
         # the abort freeze (ops/pallas_stencils)
         from ..ops.pallas_stencils import richtmyer_step_interior
@@ -806,11 +811,20 @@ class ShallowWater:
         self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
         self._state = sw_step(self._state, self.params,
                               **self._step_kwargs(target_courant))
-        if not bool(self._state.ok):
+        # batch the scalar pulls (each separate sync is a tunnel round trip);
+        # the field pull happens only on saving steps
+        ok_np, t_np, dt_np = jax.device_get(
+            (self._state.ok, self._state.t, self._state.dt))
+        if not bool(ok_np):
             raise ValueError('time step very small')
-        t = float(self._state.t)
-        if np.divmod(t, save_every)[1] < float(self._state.dt):
-            data_dict = self.save_data(data_dict, t)
+        t = float(t_np)
+        if np.divmod(t, save_every)[1] < float(dt_np):
+            h_np, u_np, v_np = jax.device_get(
+                (self._state.h, self._state.u, self._state.v))
+            data_dict['t'].append(t)
+            data_dict['h'].append(np.asarray(h_np))
+            data_dict['u'].append(np.asarray(u_np))
+            data_dict['v'].append(np.asarray(v_np))
         return t, data_dict
 
     def save_data(self, data_dict, t):
@@ -843,18 +857,32 @@ class ShallowWater:
             steps_per_snap = 1
         else:
             steps_per_snap = max(1, int(round(save_every / self.dt_0)))
-        n_snaps = max(1, nt // steps_per_snap)
-        init = (float(self._state.t), self.h, self.u, self.v)
-        self._state, snaps = sw_simulate_snapshots(
-            self._state, self.params, n_snaps, steps_per_snap,
-            **self._step_kwargs(target_courant))
+        # exactly nt steps like the reference loop: full snapshot chunks plus
+        # a fused remainder (< steps_per_snap steps, no snapshot of its own)
+        n_snaps = nt // steps_per_snap
+        remainder = nt - n_snaps * steps_per_snap
+        t0, h0, u0, v0 = jax.device_get(          # one batched pull
+            (self._state.t, self._state.h, self._state.u, self._state.v))
+        snaps = None
+        if n_snaps:
+            self._state, snaps = sw_simulate_snapshots(
+                self._state, self.params, n_snaps, steps_per_snap,
+                **self._step_kwargs(target_courant))
+        if remainder:
+            self._state = sw_simulate(self._state, self.params, remainder,
+                                      **self._step_kwargs(target_courant))
         if not bool(self._state.ok):
             raise ValueError('time step very small')
+        if snaps is None:
+            return {'t': np.asarray([float(t0), float(self._state.t)]),
+                    'h': np.stack([np.asarray(h0), self.h]),
+                    'u': np.stack([np.asarray(u0), self.u]),
+                    'v': np.stack([np.asarray(v0), self.v])}
         t_arr, h_arr, u_arr, v_arr = jax.device_get(snaps)   # one batched pull
-        return {'t': np.concatenate([[init[0]], t_arr]),
-                'h': np.concatenate([init[1][None], h_arr]),
-                'u': np.concatenate([init[2][None], u_arr]),
-                'v': np.concatenate([init[3][None], v_arr])}
+        return {'t': np.concatenate([[float(t0)], t_arr]),
+                'h': np.concatenate([np.asarray(h0)[None], h_arr]),
+                'u': np.concatenate([np.asarray(u0)[None], u_arr]),
+                'v': np.concatenate([np.asarray(v0)[None], v_arr])}
 
     # ------------- El Nino diagnostics -------------
 
@@ -975,8 +1003,12 @@ class ShallowWater:
         (shallow_water.py:768-828)."""
         import matplotlib.pyplot as plt
         w = self.initial_info['wind']
-        x_average_width = x_average_width or w['x_average_width']
-        y_average_width = y_average_width or w['y_average_width']
+        # 'is None' (not falsy-or): an explicit 0 width selects the boundary
+        # column, like the reference (shallow_water.py:785-788)
+        if x_average_width is None:
+            x_average_width = w['x_average_width']
+        if y_average_width is None:
+            y_average_width = w['y_average_width']
         h_east, h_west = self.get_average_east_west_boundary_thickness(
             h, x_average_width, y_average_width)
         h_avg = np.asarray(h)[0].mean()

@@ -247,3 +247,27 @@ def test_plot_animate_builds_frames():
                               nPlotFrames=4)
     world._animate_frame(0)
     world._animate_frame(2)
+
+
+def test_run_executes_exactly_nt_steps():
+    """run(nt, save_every) must execute exactly nt steps (the reference loops
+    nt time_step calls): snapshot-chunk rounding once dropped or OVERRAN."""
+    kw = dict(nx=18, ny=12, dx=100e3, dy=100e3, dt=60.0, f_0=1e-4,
+              beta=1.6e-11,
+              initial_info={'type': 'height_gaussian',
+                            'min_h_surface': 9750.0, 'max_h_surface': 10750.0,
+                            'x0': 0.0, 'y0': 0.0, 'x_std': 300e3,
+                            'y_std': 300e3, 'add_noise': False})
+    for nt, save_steps in [(10, 7), (5, 10), (12, 4)]:
+        ref = ShallowWater(**kw)
+        for _ in range(nt):
+            t, _ = ref.time_step(float(ref.state.t), save_every=1e18)
+        world = ShallowWater(**kw)
+        data = world.run(nt=nt, save_every=save_steps * world.dt_0)
+        assert float(world.state.t) == pytest.approx(float(ref.state.t)), \
+            (nt, save_steps)
+        np.testing.assert_allclose(world.h, ref.h, rtol=1e-12)
+        # snapshots at every full chunk plus the initial state (init + final
+        # when no full chunk fits)
+        n_snaps = nt // save_steps
+        assert len(data['t']) == (1 + n_snaps if n_snaps else 2)
