@@ -317,14 +317,22 @@ class GreyGas:
             convective marches on accelerators whose runtimes kill
             single executions running for minutes.
         """
-        if T_initial is not None and float(self._state.t) == 0:
-            self.T = T_initial
+        # data_dict=None restarts the clock (base.py:301-306) — each fresh
+        # call gets the t=0 forced first step, so a localized forcing change
+        # can't look instantly 'converged'; t must be synced BEFORE the
+        # T_initial t==0 check (a passed data_dict may itself start at 0)
         if data_dict is None:
-            data_dict = {'t': [float(self._state.t)], 'T': [self.T.copy()]}
+            self._state = self._state.replace(t=jnp.asarray(0.0, self.dtype))
         else:
             self._state = self._state.replace(
                 t=jnp.asarray(data_dict['t'][-1], self.dtype))
+        if T_initial is not None and float(self._state.t) == 0:
+            self.T = T_initial
+        if data_dict is None:
+            t_np, T_np = jax.device_get((self._state.t, self._state.T))
+            data_dict = {'t': [float(t_np)], 'T': [np.asarray(T_np)]}
 
+        forcing = self.forcing              # hoist: one upload, not per chunk
         if not save:
             p_int = jnp.asarray(self.p_interface, self.dtype)
             p_c = jnp.asarray(self.p[:, 0], self.dtype)
@@ -336,7 +344,7 @@ class GreyGas:
                 chunk_steps = 1000
             if chunk_steps is None:
                 self._state, info = _grey_evolve(
-                    self._state, self.forcing, p_int, p_c, ft,
+                    self._state, forcing, p_int, p_c, ft,
                     convective_adjust=convective_adjust, t_end=float(t_end),
                     conv_thresh=conv_thresh,
                     conv_t_multiplier=conv_t_multiplier,
@@ -350,7 +358,7 @@ class GreyGas:
                     t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
                         / SECONDS_PER_YEAR
                     self._state, info = _grey_evolve(
-                        self._state, self.forcing, p_int, p_c, ft,
+                        self._state, forcing, p_int, p_c, ft,
                         convective_adjust=convective_adjust,
                         t_end=t_end_chunk, conv_thresh=conv_thresh,
                         conv_t_multiplier=conv_t_multiplier,
@@ -377,7 +385,7 @@ class GreyGas:
             # refresh flux views at the equilibrium temperature (async)
             self._fluxes = tuple(
                 jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,
-                                                         self.forcing))
+                                                         forcing))
             self._equilibrium_info, t_np, T_np = jax.device_get(
                 (info, self._state.t, self._state.T))
             if bool(self._equilibrium_info.nan):
@@ -386,6 +394,12 @@ class GreyGas:
                     'march (NaN sentinel) — check forcing inputs')
             if bool(self._equilibrium_info.failed):
                 raise ValueError('Temperature is below zero')
+            if not bool(self._equilibrium_info.equilibrium) and \
+                    not bool(self._equilibrium_info.timed_out):
+                raise RuntimeError(
+                    'march hit the max_steps safety cap without converging '
+                    'or reaching t_end — use chunk_steps, raise t_end, or '
+                    'loosen flux_thresh')
             data_dict['t'].append(float(t_np))
             data_dict['T'].append(np.asarray(T_np))
             return data_dict
@@ -409,7 +423,7 @@ class GreyGas:
             t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
                 / SECONDS_PER_YEAR
             self._state, info, snaps = _grey_evolve_snapshots(
-                self._state, self.forcing, p_int, p_c, ft, n_snaps=chunk,
+                self._state, forcing, p_int, p_c, ft, n_snaps=chunk,
                 convective_adjust=convective_adjust, t_end=t_end_chunk,
                 conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
                 conv_method=conv_method, i0=i0, with_fluxes=with_fluxes)
@@ -447,7 +461,10 @@ class GreyGas:
                 raise ValueError('Temperature is below zero')
             if bool(info_np.equilibrium) or bool(info_np.timed_out):
                 break
-        # flux views at the last step (lagged like the host path / reference)
+        # with_fluxes: views lagged like the reference's save_data; otherwise
+        # refreshed at the FINAL temperature — a deliberate divergence (the
+        # reference attributes hold pre-final-step fluxes; ours are the
+        # self-consistent equilibrium fluxes, see CLAUDE.md quirks)
         if with_fluxes:
             self._fluxes = tuple(jnp.asarray(data_dict['flux'][key][-1],
                                              self.dtype)
@@ -456,7 +473,7 @@ class GreyGas:
         else:
             self._fluxes = tuple(
                 jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,
-                                                         self.forcing))
+                                                         forcing))
         self._equilibrium_info = info_np
         self._state = self._state.replace(
             tsi=column.reset_time_step_info(self._state.tsi))
@@ -505,6 +522,12 @@ class GreyGas:
             correct = False
 
         if not self.sw_tau_is_zero and correct:
+            # the sw closed form is single-latitude (the reference raises
+            # 'Must provide a single latitude bin', grey.py:529-530) —
+            # silently using latitude 0's albedo would return wrong profiles
+            # for every other latitude with correct_solution still True
+            if np.size(self.albedo_mod) > 1:
+                raise ValueError('Must provide a single latitude bin')
             calc = GreySwEquilibrium(self.F_stellar_constant,
                                      float(np.asarray(self.albedo_mod).ravel()[0]),
                                      self._lw, self._sw)

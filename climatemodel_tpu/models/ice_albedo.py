@@ -64,7 +64,10 @@ class GreyAlbedoFeedback:
         if self.changing_param == 'tau':
             vals = np.sort(np.asarray(tau_lw_surface_values, dtype=np.float64))
             self.changing_param_values = np.concatenate((vals[::-1], vals[1:]))
-            F_stellar_constant = stellar_constant_values
+            # a size-1 list/array passes the validation above but float()
+            # would crash (list) or deprecation-warn (ndarray)
+            F_stellar_constant = float(
+                np.asarray(stellar_constant_values, np.float64).ravel()[0])
             self.tau_args = list(tau_lw_func_args)
             self.tau_args[1] = self.changing_param_values[0]
             lw_args = self.tau_args

@@ -608,13 +608,18 @@ class RealGas:
             delta_net_flux — the base.py:324-327 progress line); implies
             ``chunk_steps=1000`` when chunking wasn't requested.
         """
-        if T_initial is not None and float(self._state.t) == 0:
-            self.T = T_initial
+        # data_dict=None restarts the clock (base.py:301-306): each fresh call
+        # gets the t=0 forced first step; t syncs BEFORE the T_initial check
         if data_dict is None:
-            data_dict = {'t': [float(self._state.t)], 'T': [self.T.copy()]}
+            self._state = self._state.replace(t=jnp.asarray(0.0, self.dtype))
         else:
             self._state = self._state.replace(
                 t=jnp.asarray(data_dict['t'][-1], self.dtype))
+        if T_initial is not None and float(self._state.t) == 0:
+            self.T = T_initial
+        if data_dict is None:
+            t_np, T_np = jax.device_get((self._state.t, self._state.T))
+            data_dict = {'t': [float(t_np)], 'T': [np.asarray(T_np)]}
         if save:
             # fused snapshot march: chunks of per-step snapshots as one
             # lax.scan each, one batched device_get per chunk (the reference's
@@ -739,6 +744,12 @@ class RealGas:
                 '(NaN sentinel) — check forcing/table inputs')
         if bool(self._equilibrium_info.failed):
             raise ValueError('Temperature is below zero')
+        if not bool(self._equilibrium_info.equilibrium) and \
+                not bool(self._equilibrium_info.timed_out):
+            raise RuntimeError(
+                'march hit the max_steps safety cap without converging or '
+                'reaching t_end — use chunk_steps, raise t_end, or loosen '
+                'flux_thresh')
         self.up_flux, self.down_flux = self.get_flux()
         self.net_flux = np.asarray(nf_np)[:, 0]
         data_dict['t'].append(float(t_np))

@@ -165,3 +165,36 @@ def test_fused_save_flux_lag_parity():
                                    np.asarray(up_lw), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(data['flux']['lw_down'][k]),
                                    np.asarray(down_lw), rtol=1e-6)
+
+
+def test_repeat_march_restarts_clock_and_honours_T_initial():
+    """data_dict=None restarts t=0 (base.py:301-306): a second march applies
+    T_initial and gets the forced first step instead of instantly exiting on
+    a stale delta."""
+    world = GreyGas(nz=30, ny=1, tau_lw_func='scale_height',
+                    tau_lw_func_args=[0.22 * p_surface_earth, 4.0])
+    world.evolve_to_equilibrium(flux_thresh=1e-2, save=False)
+    T_eq = world.T.copy()
+    T2 = T_eq + 10.0
+    world.evolve_to_equilibrium(T_initial=T2, flux_thresh=1e-2, save=False)
+    assert float(world.state.t) > 0          # clock restarted and marched
+    assert int(world._equilibrium_info.steps) > 1
+    # the march genuinely marched back from the +10 K start in the optically
+    # active region (thin top levels are path-dependent; the delta exit can
+    # stop short of full balance — both documented reference quirks)
+    active = world.tau[:, 0] > 0.1
+    dev = np.abs(world.T - T_eq)[active].max()
+    assert 1e-4 < dev < 5.0
+
+
+def test_equilibrium_sol_sw_requires_single_latitude():
+    """The sw closed form is single-latitude; the reference raises
+    (grey.py:529-530) instead of silently using latitude 0's albedo."""
+    from climatemodel_tpu.ops import optical_depth as od
+    alpha_sw = od.get_exponential_alpha(100000) / 5
+    world = GreyGas(nz=30, ny=4, tau_lw_func='exponential',
+                    tau_lw_func_args=[100000, 4], tau_sw_func='exponential',
+                    tau_sw_func_args=[od.get_exponential_p_width(alpha_sw),
+                                      0.6])
+    with pytest.raises(ValueError, match='single latitude'):
+        world.equilibrium_sol()
