@@ -56,8 +56,10 @@ def get_olr_area(atmos, flux=None):
 
 def get_surface_up_flux_olr_area(atmos):
     """OLR area from attenuated surface emission only (base.py:189-206)."""
+    # tau_device is the model's cached upload (invalidated by _refresh_tau):
+    # re-uploading [nz, n_nu] here costs a tunnel round trip per sweep point
     att = np.asarray(tr.band_attenuation(
-        jnp.asarray(atmos.tau_interface, atmos.dtype), atmos.band_arrays.idx,
+        atmos.tau_device, atmos.band_arrays.idx,
         atmos.band_arrays.w, atmos.band_arrays.delta, ref_level=atmos.nz - 1))
     up0 = np.pi * np.asarray(B_wavenumber(atmos.nu_bands['centre'], atmos.T_g))
     lw = _lw_band_mask(atmos)
@@ -116,9 +118,15 @@ def get_ghg_activity(atmos, molecule=None):
     if molecule is None:
         absorb = np.ones_like(atmos.nu)
     else:
+        # any molecule's spectrum can be probed, like the reference's
+        # load_absorption_coef (base.py:175) — not just atmosphere members
+        table = atmos._tables.get(molecule)
+        if table is None:
+            from ..spectral import hitran
+            table = hitran.load_table(molecule, atmos.table_folder)
         absorb = tr.crop_lookup(np.array([atmos.p_surface]),
                                 np.array([atmos.T_g]), atmos.nu,
-                                atmos._tables[molecule]).flatten()
+                                table).flatten()
     lw = ~atmos.nu_bands['sw']
     pk = atmos._packed
     p1 = atmos.p_interface[0, 0]      # TOA

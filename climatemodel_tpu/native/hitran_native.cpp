@@ -112,9 +112,17 @@ long parse_table(const char* path, long skip_lines, long rows, long cols,
             ++c;
             p = end;
         }
+        // a row counts only with EXACTLY cols tokens — table_dims skips
+        // ragged lines (extra or missing columns), and counting a partial
+        // parse here would silently shift every subsequent row
+        bool extra = false;
+        if (c == cols) {
+            char* q = const_cast<char*>(skip_ws(p));
+            extra = (*q != '\0');
+        }
         *line_end = saved;
         s = (*line_end) ? line_end + 1 : line_end;
-        if (c == cols) ++r;
+        if (c == cols && !extra) ++r;
     }
     return r;
 }

@@ -25,17 +25,9 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from .planck import _ns
 
 from ..constants import g, p_surface_earth
-
-
-def _ns(p):
-    """Array namespace of the argument: host NumPy stays NumPy (float64 grid
-    building must not round-trip through the accelerator's float32), traced
-    values use jnp."""
-    if isinstance(p, (np.ndarray, np.generic, float, int)):
-        return np
-    return jnp
 
 
 # --------------------------------------------------------------------------

@@ -18,6 +18,10 @@ _C2 = float(100.0 * h_planck * speed_of_light / k_boltzmann)
 
 
 def _ns(x):
+    """Array namespace of the argument: host NumPy stays NumPy (float64 grid
+    building must not round-trip through the accelerator's float32), traced
+    values use jnp.  Canonical copy — imported by the other namespace-
+    polymorphic modules (transmission, optical_depth, humidity)."""
     if isinstance(x, (np.ndarray, np.generic, float, int)):
         return np
     return jnp

@@ -21,12 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-
-
-def _ns(x):
-    if isinstance(x, (np.ndarray, np.generic, float, int)):
-        return np
-    return jnp
+from .planck import _ns
 
 
 # --------------------------------------------------------------------------
@@ -81,6 +76,16 @@ def crop_lookup(p, T, wavenumber, table):
 # packed band structures (host-side, static shapes)
 # --------------------------------------------------------------------------
 
+
+def _trapz_weights(xs):
+    """Trapezoid quadrature weights over nodes xs: sum(w*y) = trapz(y, xs)."""
+    wt = np.zeros(xs.size)
+    if xs.size > 1:
+        d = np.diff(xs)
+        wt[:-1] += 0.5 * d
+        wt[1:] += 0.5 * d
+    return wt
+
 class PackedBands:
     """Static arrays describing the wavenumber bands for fused device ops.
 
@@ -102,14 +107,7 @@ class PackedBands:
             ind = np.searchsorted(nu, rng)
             self.idx[b, :len(rng)] = ind
             # trapezoid weights over the band's own nu values
-            if len(rng) > 1:
-                d = np.diff(rng)
-                wt = np.zeros(len(rng))
-                wt[:-1] += 0.5 * d
-                wt[1:] += 0.5 * d
-            else:
-                wt = np.zeros(1)
-            self.w[b, :len(rng)] = wt
+            self.w[b, :len(rng)] = _trapz_weights(np.asarray(rng, float))
         self.delta = np.asarray(bands['delta'], dtype=np.float64)
         self.centre = np.asarray(bands['centre'], dtype=np.float64)
         self.sw = np.asarray(bands['sw'], dtype=bool)
@@ -152,19 +150,13 @@ def flux_integral_weights(p_interface, p_centre):
     W_down = np.zeros((nz, nz + 1))
     for i in range(nz - 1):
         xs = np.concatenate(([p_int[i]], p_c[i:], [p_int[-1]]))
-        wt = np.zeros(xs.size)
-        d = np.diff(xs)
-        wt[:-1] += 0.5 * d
-        wt[1:] += 0.5 * d
+        wt = _trapz_weights(xs)
         W_up[i, 0] = wt[0]
         W_up[i, 1 + i: nz] = wt[1:-1]
         W_up[i, nz] = wt[-1]
     for j in range(1, nz):
         xs = np.concatenate(([p_int[0]], p_c[:j], [p_int[j]]))
-        wt = np.zeros(xs.size)
-        d = np.diff(xs)
-        wt[:-1] += 0.5 * d
-        wt[1:] += 0.5 * d
+        wt = _trapz_weights(xs)
         W_down[j, 0] = wt[0]
         W_down[j, 1: 1 + j] = wt[1:-1]
         W_down[j, nz] = wt[-1]

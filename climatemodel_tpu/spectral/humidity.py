@@ -13,17 +13,12 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+from ..ops.planck import _ns
 
 from ..constants import p_surface_earth
 
 M_air = 28.97                      # molar mass of air (g/mol)
 temp_kelvin_to_celsius = 273.15
-
-
-def _ns(x):
-    if isinstance(x, (np.ndarray, np.generic, float, int)):
-        return np
-    return jnp
 
 
 def p_altitude_convert(altitude=None, p=None):

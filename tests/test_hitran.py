@@ -194,3 +194,21 @@ def test_single_line_overwrite_guard(tmp_path):
         assert f.read() == b'USER DATA'
     hitran.make_single_line_table(output_folder=str(tmp_path), overwrite=True)
     assert np.load(target, allow_pickle=True).item()['nu'].size > 0
+
+
+def test_native_parser_skips_ragged_rows(tmp_path):
+    """A line with extra (or missing) tokens must be SKIPPED consistently by
+    both the dimension scan and the parser — a partial parse once shifted
+    every subsequent row silently."""
+    from climatemodel_tpu import native
+    if not native.available():
+        pytest.skip('native library not built')
+    path = tmp_path / 'tab.txt'
+    with open(path, 'w') as f:
+        f.write('a b c\n')
+        f.write('1 2 3\n')
+        f.write('4 5 6 99\n')       # extra token: ragged, must be skipped
+        f.write('7 8\n')            # missing token: ragged, must be skipped
+        f.write('10 11 12\n')
+    body = native.parse_numeric_table(str(path))
+    np.testing.assert_array_equal(body, [[1, 2, 3], [10, 11, 12]])

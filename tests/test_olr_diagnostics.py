@@ -91,3 +91,13 @@ def test_ghg_activity_matches_reference():
     nu_c, act = olr.get_ghg_activity(mine)
     np.testing.assert_allclose(act, -expect.flatten() * mass_conv, rtol=1e-10)
     np.testing.assert_allclose(nu_c, ref.nu_bands['centre'][lw])
+
+
+def test_ghg_activity_loads_non_member_molecule():
+    """get_ghg_activity can probe a molecule that is NOT in the atmosphere
+    (the reference loads any molecule's table, base.py:175)."""
+    atmos = _build()
+    assert 'gray' not in atmos._tables
+    nu_c, activity = olr.get_ghg_activity(atmos, 'gray')
+    assert nu_c.size == activity.size > 0
+    assert np.isfinite(activity).all()
