@@ -90,6 +90,18 @@ def test_animation_builds_frames():
     data2 = w2.evolve_to_equilibrium(flux_thresh=5e-2, save=True)
     anim2 = Animate(w2, data2['T'], data2['t'], nPlotFrames=4)
     anim2._frame_2d(0)
+    # tau/flux-overlay variant (radiation_script.py:115 usage)
+    w3 = GreyGas(nz=25, ny=1, tau_lw_func='scale_height',
+                 tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    d3 = {'t': [], 'T': [],
+          'tau': {'lw': [], 'sw': []},
+          'flux': {'lw_up': [], 'lw_down': [], 'sw_up': [], 'sw_down': []}}
+    d3 = w3.save_data(d3, 0.0)
+    d3 = w3.evolve_to_equilibrium(d3, flux_thresh=5e-2, save=True)
+    anim3 = Animate(w3, d3['T'], d3['t'], tau_array=d3['tau'],
+                    flux_array=d3['flux'], nPlotFrames=4)
+    anim3._frame_1d(0)
+    anim3._frame_1d(len(anim3.t_plot) - 1)
 
 
 def test_grey_ensemble_members_independent():

@@ -101,3 +101,25 @@ def test_ghg_activity_loads_non_member_molecule():
     nu_c, activity = olr.get_ghg_activity(atmos, 'gray')
     assert nu_c.size == activity.size > 0
     assert np.isfinite(activity).all()
+
+
+def test_presentation_plot_surfaces_build():
+    """Smoke the remaining presentation plot surfaces: plot_incoming_short_wave
+    (real_gas.py:812-837), plot_T_q, and the arctic-amplification panel
+    (base.py:124-154)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from climatemodel_tpu.spectral.temperature_profiles import earth_temp
+    atmos = _build()
+    ax = atmos.plot_incoming_short_wave()
+    assert ax.figure is not None
+    plt.close('all')
+    axs = olr.plot_T_q(atmos)
+    assert axs is not None
+    plt.close('all')
+    fig, ax = plt.subplots()
+    olr.ghg_diff_initial_h2o_plot(ax, atmos, [1.0, 2.0], 'CO2_no_sw',
+                                  np.array([0.0, 50.0]), earth_temp)
+    assert len(ax.lines) >= 2
+    plt.close('all')
