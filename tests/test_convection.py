@@ -197,3 +197,18 @@ def test_iso_rows_nested_vmap_flattens():
     got = jax.vmap(jax.vmap(lambda th: _iso_rows(th[None, :], v)[0]))(theta3)
     ref = jax.vmap(jax.vmap(lambda th: _isotonic_increasing(th, v)))(theta3)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_isotonic_shape_fuzz():
+    """Seeded shape fuzz: kernel bit-parity vs the formula across irregular
+    (batch, n) combinations incl. lane/sublane boundary cases."""
+    import jax
+    from climatemodel_tpu.ops.convection import _isotonic_increasing
+    from climatemodel_tpu.ops.pallas_isotonic import isotonic_increasing_lanes
+    rng = np.random.default_rng(11)
+    for b, n in [(1, 8), (127, 9), (129, 64), (128, 150), (17, 255)]:
+        theta = jnp.asarray(200 + 100 * rng.random((b, n)), jnp.float32)
+        v = jnp.asarray(rng.uniform(0.5, 2.0, (n,)), jnp.float32)
+        ref = jax.vmap(lambda th: _isotonic_increasing(th, v))(theta)
+        got = isotonic_increasing_lanes(theta, v, interpret=True)
+        assert bool(jnp.all(ref == got)), (b, n)

@@ -109,3 +109,17 @@ def test_lw_flux_nested_vmap_flattens():
         np.testing.assert_array_equal(np.asarray(up_v[m]), np.asarray(up_m))
         np.testing.assert_array_equal(np.asarray(down_v[m]),
                                       np.asarray(down_m))
+
+
+def test_pallas_lw_kernel_shape_fuzz():
+    """Seeded shape fuzz of the lane-batched flux kernel vs the sequential
+    reference order, incl. lane-boundary batch sizes."""
+    from climatemodel_tpu.ops.pallas_two_stream import lw_flux_lanes
+    rng = np.random.default_rng(12)
+    for n, b in [(1, 3), (8, 127), (60, 129), (150, 16), (31, 256)]:
+        T = jnp.asarray(200 + 100 * rng.random((n, b)), jnp.float32)
+        dtau = jnp.asarray(0.2 * rng.random((n, b)), jnp.float32)
+        toa = jnp.asarray(200 + 50 * rng.random((b,)), jnp.float32)
+        us, ds = lw_flux_sequential(T, dtau, toa)
+        uk, dk = lw_flux_lanes(T, dtau, toa, interpret=True)
+        assert bool(jnp.all(us == uk) & jnp.all(ds == dk)), (n, b)
