@@ -124,6 +124,7 @@ def get_ghg_activity(atmos, molecule=None):
         if table is None:
             from ..spectral import hitran
             table = hitran.load_table(molecule, atmos.table_folder)
+            atmos._tables[molecule] = table      # cache for sweep loops
         absorb = tr.crop_lookup(np.array([atmos.p_surface]),
                                 np.array([atmos.T_g]), atmos.nu,
                                 table).flatten()

@@ -430,6 +430,9 @@ def sw_simulate(state: SWState, params: SWParams, n_steps, solver='richtmyer',
                 linear=False, bx='periodic', by='walls', wind_type=None,
                 target_courant=0.1, flat_orography=False, row_geometry=False):
     """n_steps fused into one lax.scan: the whole run is a single XLA program."""
+    if solver == 'richtmyer_pallas' and linear:
+        raise ValueError('richtmyer_pallas supports the nonlinear equations '
+                         'only (use richtmyer for linear=True)')
     if _use_frame_path(state, solver):
         from ..ops.pallas_stencils import pad_frame, unpad_frame
         nx, ny = state.h.shape
@@ -469,6 +472,9 @@ def sw_simulate_snapshots(state: SWState, params: SWParams, n_snaps,
                           row_geometry=False):
     """Run n_snaps * steps_per_snap steps, stacking (t, h, u, v) snapshots every
     steps_per_snap steps — the scan-native replacement of data_dict appends."""
+    if solver == 'richtmyer_pallas' and linear:
+        raise ValueError('richtmyer_pallas supports the nonlinear equations '
+                         'only (use richtmyer for linear=True)')
     if _use_frame_path(state, solver):
         from ..ops.pallas_stencils import pad_frame, unpad_frame
         nx, ny = state.h.shape
@@ -874,10 +880,12 @@ class ShallowWater:
         if not bool(self._state.ok):
             raise ValueError('time step very small')
         if snaps is None:
-            return {'t': np.asarray([float(t0), float(self._state.t)]),
-                    'h': np.stack([np.asarray(h0), self.h]),
-                    'u': np.stack([np.asarray(u0), self.u]),
-                    'v': np.stack([np.asarray(v0), self.v])}
+            t1, h1, u1, v1 = jax.device_get(       # one batched pull
+                (self._state.t, self._state.h, self._state.u, self._state.v))
+            return {'t': np.asarray([float(t0), float(t1)]),
+                    'h': np.stack([np.asarray(h0), np.asarray(h1)]),
+                    'u': np.stack([np.asarray(u0), np.asarray(u1)]),
+                    'v': np.stack([np.asarray(v0), np.asarray(v1)])}
         t_arr, h_arr, u_arr, v_arr = jax.device_get(snaps)   # one batched pull
         return {'t': np.concatenate([[float(t0)], t_arr]),
                 'h': np.concatenate([np.asarray(h0)[None], h_arr]),

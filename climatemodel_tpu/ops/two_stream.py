@@ -108,7 +108,11 @@ def lw_flux(T, dtau, up_flux_toa, surface_first=True):
     """
     if not surface_first:
         # TOA-first orientation (the level-sharded pp path): scan form
-        return _lw_scan_eval(T, dtau, up_flux_toa, reverse=False)
+        dtau_f = jnp.asarray(dtau)
+        while dtau_f.ndim < T.ndim:             # column-shared [nz-1] dtau
+            dtau_f = dtau_f[..., None]
+        return _lw_scan_eval(T, jnp.broadcast_to(dtau_f, T.shape),
+                             up_flux_toa, reverse=False)
     batch_shape = T.shape[1:]
     nlev = T.shape[0]
     Tf = T.reshape(nlev, -1)
