@@ -487,11 +487,12 @@ def main():
         if platform != 'cpu' else None
 
     # real-gas earth roofline: the cached march's per-step traffic is
-    # dominated by the two packed-band einsum tensors M_up/M_down
-    # (~2 * n_lw_bands * nz^2 f32 reads, models/real_gas.py:127-132)
+    # dominated by the two packed-band einsum tensors M_up/M_down, each
+    # [n_lw_bands, nz, nz-1] f32 (models/real_gas.py:127-132) — same
+    # nz*(nz-1) count as the hires bench so the two metrics are comparable
     rge = extra['real_gas_earth']
     if 'error' not in rge:
-        b = 2 * rge['n_lw_bands'] * rge['nz'] ** 2 * 4
+        b = 2 * rge['n_lw_bands'] * rge['nz'] * (rge['nz'] - 1) * 4
         rge['min_traffic_gbs'] = b * rge['steps_per_sec'] / 1e9
         rge['roofline_fraction_min_traffic'] = \
             rge['min_traffic_gbs'] / _V5E_HBM_GBS if platform != 'cpu' else None

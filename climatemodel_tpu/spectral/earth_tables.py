@@ -31,6 +31,7 @@ tables.
 from __future__ import annotations
 
 import os
+import warnings
 import zlib
 
 import numpy as np
@@ -223,11 +224,14 @@ def ensure_earth_tables(output_folder=None, overwrite=False, verbose=False):
             return f'{zlib.crc32(f.read()):08x}'
 
     built = []
+    kept_unstamped = []
     for name in ('CO2', 'CH4', 'H2O', 'O3'):
         path = hitran.table_path(name, out)
         if os.path.isfile(path) and not overwrite:
             ours = name in built_map and built_map[name] in (None, _crc(path))
             if not (stale and ours):
+                if name not in built_map:
+                    kept_unstamped.append(name)
                 continue
         nu_min, nu_max = _NU_RANGE[name]
         wavenumbers = np.arange(nu_min, nu_max + hitran.table_dnu / 2,
@@ -236,6 +240,18 @@ def ensure_earth_tables(output_folder=None, overwrite=False, verbose=False):
                           output_folder=out, overwrite=True, verbose=verbose)
         built_map[name] = _crc(path)
         built.append(name)
+    if kept_unstamped:
+        # Tables that predate the stamp file may be user-dropped real
+        # spectroscopy — but they may equally be fixture-built tables from a
+        # release before a fixture fix (e.g. the O3 UV magnitude correction,
+        # the exact class the digest mechanism targets).  Keep them, but say
+        # so instead of marching silently on possibly-runaway-prone data.
+        warnings.warn(
+            f'lookup tables {kept_unstamped} in {out} predate the fixture '
+            'stamp and were kept as-is; if they were built by an earlier '
+            'release of this package (not dropped in by you), rebuild them '
+            'with ensure_earth_tables(overwrite=True) or delete the files '
+            'to pick up current fixture data')
     with open(stamp_path, 'w') as f:
         json.dump({'digest': digest, 'built': built_map}, f)
     return out, built

@@ -128,6 +128,16 @@ def _orbax_load(path, template):
     if len(restored) != len(t_leaves):
         raise ValueError(f'template has {len(t_leaves)} leaves, checkpoint '
                          f'has {len(restored)}')
-    leaves = [np.asarray(r).astype(np.asarray(t).dtype)
-              for r, t in zip(restored, t_leaves)]
+    # Device leaves: keep the restored jax.Array as-is — restore_args already
+    # gave it the template's dtype and sharding, and round-tripping through
+    # np.asarray would gather to host (and raise outright for non-fully-
+    # addressable multi-host arrays).  Host leaves only go through numpy.
+    leaves = []
+    for r, t in zip(restored, t_leaves):
+        if isinstance(t, jax.Array) and isinstance(r, jax.Array):
+            if r.dtype != t.dtype or r.sharding != t.sharding:
+                r = jax.device_put(r.astype(t.dtype), t.sharding)
+            leaves.append(r)
+        else:
+            leaves.append(np.asarray(r).astype(np.asarray(t).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)

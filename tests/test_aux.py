@@ -56,6 +56,19 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     save_pytree(tmp_path / 'grey_sharded', sharded, backend='orbax')
     back = load_pytree(tmp_path / 'grey_sharded', sharded, backend='orbax')
     np.testing.assert_array_equal(np.asarray(back.T), np.asarray(sharded.T))
+    # restored leaves keep device placement + sharding (no host gather): a
+    # genuinely partitioned (non-replicated) template must come back as a
+    # jax.Array with that same partitioned sharding
+    sh_split = NamedSharding(mesh, P(None, 'd'))        # T is (nz-1, ny=2)
+    split = jax.tree_util.tree_map(
+        lambda x: (jax.device_put(jnp.asarray(x), sh_split)
+                   if getattr(x, 'ndim', 0) == 2 and x.shape[-1] == 2 else
+                   jax.device_put(jnp.asarray(x), sh)), w2.state)
+    save_pytree(tmp_path / 'grey_split', split, backend='orbax')
+    back2 = load_pytree(tmp_path / 'grey_split', split, backend='orbax')
+    assert isinstance(back2.T, jax.Array)
+    assert back2.T.sharding == split.T.sharding
+    np.testing.assert_array_equal(np.asarray(back2.T), np.asarray(split.T))
 
 
 def test_checkpoint_roundtrip_shallow_water(tmp_path):
