@@ -174,7 +174,8 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
                 changing_tau: bool = False, convective_adjust: bool = False,
                 net_flux_thresh: float = 1e-7, net_flux_percentile: float = 95,
                 conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
-                p_descending: bool = True, conv_method: str = 'reference'):
+                p_descending: bool = True, conv_method: str = 'reference',
+                net_flux_diff=None):
     """One finite-volume temperature update with adaptive dt.
 
     :param net_flux: [nz, ny] freshly computed net flux.
@@ -183,13 +184,25 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
         convective adjustment.
     :param p_descending: static orientation of the model's pressure axis
         (grey: True, surface first; real-gas: False, TOA first).
+    :param net_flux_diff: optional [nz-1, ny] adjacent-interface flux
+        difference ``net_flux[1:] - net_flux[:-1]`` evaluated in a
+        better-conditioned order by the caller (e.g. the real-gas band sum
+        differenced per band BEFORE the band reduction).  In f32 the direct
+        difference of two ~1e2 W/m^2 band sums carries ~1e-5 W/m^2 of
+        reduction-order noise, which at micro-mass TOA levels (dp < 1 Pa)
+        becomes a biased heating of radiatively-decoupled layers — one
+        insolation-ensemble member cooled such a level to the negative-T
+        abort (member 47 of BENCH_r02's real_gas_earth_ensemble, p=0.25 Pa).
+        In f64 the two forms agree to machine epsilon.
     :return: (new_state, delta_net_flux)
     """
     T = state.T
     tsi = state.tsi
     n_flat = T.size
     # finite volume tendency dT/dt = g/c_p * dF/dp (base.py:166-168)
-    T_tendency = g / c_p_dry * (net_flux[1:, :] - net_flux[:-1, :]) / (
+    flux_diff = (net_flux[1:, :] - net_flux[:-1, :] if net_flux_diff is None
+                 else net_flux_diff)
+    T_tendency = g / c_p_dry * flux_diff / (
         p_interface[1:, :] - p_interface[:-1, :])
     tend_flat = T_tendency.reshape(-1)
 
@@ -323,7 +336,10 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
     nan, timed_out) used by both the fused while_loop and the snapshot scan."""
     def body(carry):
         st, ft, _delta, i, _eqb, _failed, _nan, _tout = carry
-        net = net_flux_fn(st.T)
+        out = net_flux_fn(st.T)
+        # net_flux_fn may return (net, net_diff) with a better-conditioned
+        # adjacent-interface difference (see update_temp's net_flux_diff)
+        net, net_diff = out if isinstance(out, tuple) else (out, None)
         st, delta = update_temp(st, net, p_interface, p_centre_col,
                                 changing_tau=False,
                                 convective_adjust=convective_adjust,
@@ -332,7 +348,8 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                                 conv_thresh=conv_thresh,
                                 conv_t_multiplier=conv_t_multiplier,
                                 p_descending=p_descending,
-                                conv_method=conv_method)
+                                conv_method=conv_method,
+                                net_flux_diff=net_diff)
         # second iteration tightens the threshold (base.py:315-317)
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
         eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)

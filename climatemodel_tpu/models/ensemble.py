@@ -131,7 +131,8 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
     ~ n * L * nz^2 floats) — the GHG-ladder workload the reference runs as a
     sequential Python loop of full marches (real_gas_script.py:27-40).
     """
-    from .real_gas import precompute_transmission, real_gas_fluxes_cached
+    from .real_gas import (_net_and_diff, precompute_transmission,
+                           real_gas_fluxes_cached)
 
     shared_cache = None if stacked_tau else \
         precompute_transmission(tau_interface, ba, cache_dtype)
@@ -142,7 +143,7 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
         def net_fn(T):
             up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
                                               F_star_factor * scale)
-            return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
+            return _net_and_diff(up, down, delta)
         return column.evolve_to_equilibrium(
             state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
             convective_adjust=convective_adjust, t_end=t_end,

@@ -210,6 +210,28 @@ def _net_flux(T, T_g, tau_interface, ba: BandArrays, F_star_factor, delta):
     return jnp.sum((up - down) * delta[None, :], axis=1)
 
 
+def _net_and_diff(up, down, delta):
+    """(net, net_diff) with the adjacent-interface difference taken PER BAND
+    before the band reduction.
+
+    The heating tendency divides ``net[k+1] - net[k]`` by dp; differencing
+    the two ~1e2 W/m^2 band sums directly leaves f32 reduction-order noise of
+    ~|net| * eps ~ 1e-5 W/m^2 on the difference, which at micro-mass TOA
+    levels (dp ~ 0.1 Pa) turns into a spurious, batch-layout-dependent
+    heating of radiatively-decoupled layers — BENCH_r02's
+    real_gas_earth_ensemble member 47 (F_scale=1.074) cooled the p=0.25 Pa
+    level to the negative-T abort this way (CPU f64, CPU f32 and smaller TPU
+    batches all converge; only the 64-member GEMM rounding realization
+    tripped it).  Differencing per band first bounds the noise by
+    ~sqrt(L) * eps * |band contribution| instead — ~20x smaller.  In f64 the
+    two forms agree to machine epsilon (parity tests unchanged)."""
+    ud = up - down                                      # [nz, B]
+    net = jnp.sum(ud * delta[None, :], axis=1)[:, None]
+    net_diff = jnp.sum((ud[1:, :] - ud[:-1, :]) * delta[None, :],
+                       axis=1)[:, None]
+    return net, net_diff
+
+
 # jitted aliases for host-side diagnostics: eager dispatch of the band einsums
 # is latency-bound through the axon tunnel
 _real_gas_fluxes_jit = jax.jit(real_gas_fluxes)
@@ -238,7 +260,7 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
     def net_fn(T):
         up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
                                           F_star_factor)
-        return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
+        return _net_and_diff(up, down, delta)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
         convective_adjust=convective_adjust, t_end=t_end,
@@ -267,7 +289,7 @@ def _real_gas_evolve_snapshots(state: ColumnState, T_g, tau_interface,
     def net_fn(T):
         up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
                                           F_star_factor)
-        return jnp.sum((up - down) * delta[None, :], axis=1)[:, None]
+        return _net_and_diff(up, down, delta)
 
     snap_fn = None
     if with_fluxes:

@@ -43,6 +43,25 @@ from ..constants import g, c_p_dry, p_surface_earth, R_specific
 _SMALL = 1e-10   # instability tolerance (convective_adjustment.py:62)
 
 
+def _instability_tol(theta):
+    """Per-level instability tolerance for theta-diffs.
+
+    The reference's fixed -1e-10 (convective_adjustment.py:62) is calibrated
+    for f64 numpy, where rounding noise on theta ~ 1e-13.  In f32 the
+    round-trip theta = T/pi -> T = theta*pi leaves +-1 ulp noise ~ 1e-4 on
+    the high-theta upper levels, so a fixed 1e-10 threshold sees rounding
+    noise as instability and the group-blend sweep fights a no-progress
+    rounding war for hundreds of outer trips (measured 61 ms/call on v5e vs
+    0.15 ms once fixed).  Scale the tolerance with the dtype epsilon and the
+    local theta magnitude; in f64 the 16*eps*theta term is ~1e-11 < 1e-10,
+    so the reference tolerance is unchanged and parity tests are unaffected.
+    """
+    eps = jnp.finfo(theta.dtype).eps
+    mag = jnp.maximum(jnp.abs(theta[:-1]), jnp.abs(theta[1:]))
+    tol = jnp.maximum(jnp.asarray(_SMALL, theta.dtype), 16 * eps * mag)
+    return jnp.concatenate([tol, tol[-1:]])
+
+
 def _trapz_weights(p):
     """Weights w with sum(w * T) = -trapz(T, p) for descending p — the
     reference's enthalpy integral (convective_adjustment.py:133-135)."""
@@ -77,7 +96,7 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
         theta = T / pi
         d = theta[1:] - theta[:-1]
         d_ext = jnp.concatenate([d, d[-1:]])     # duplicated last diff (line 60-61)
-        return (d_ext < -_SMALL) & ~ignored
+        return (d_ext < -_instability_tol(theta)) & ~ignored
 
     def group_body(gi, carry):
         T, ignored, gid = carry
@@ -114,7 +133,8 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
         return T, ignored, gid
 
     def outer_body(carry):
-        T, ignored, it = carry
+        T, ignored, it, _ = carry
+        T_prev = T
         un = unstable_mask(T, ignored)
         starts = un & ~jnp.concatenate([jnp.array([False]), un[:-1]])
         gid = jnp.where(un, jnp.cumsum(starts), 0)  # frozen per sweep
@@ -132,15 +152,23 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
 
         _, (T, ignored, _) = lax.while_loop(
             g_cond, g_body, (jnp.asarray(1, gid.dtype), (T, ignored, gid)))
-        return T, ignored, it + 1
+        progressed = jnp.any(T != T_prev) | jnp.any(
+            unstable_mask(T, ignored) != un)
+        return T, ignored, it + 1, progressed
 
     def outer_cond(carry):
-        T, ignored, it = carry
-        return jnp.any(unstable_mask(T, ignored)) & (it < max_outer)
+        T, ignored, it, progressed = carry
+        # a sweep that changed neither T nor the (mask-relevant) state cannot
+        # make progress on any future sweep — exit instead of spinning to
+        # max_outer (a pure-rounding fixed point the reference's f64 numpy
+        # never reaches in practice)
+        return (jnp.any(unstable_mask(T, ignored)) & (it < max_outer)
+                & progressed)
 
-    T_out, _, _ = lax.while_loop(outer_cond, outer_body,
-                                 (T, jnp.zeros((nz,), bool),
-                                  jnp.asarray(0, jnp.int32)))
+    T_out, _, _, _ = lax.while_loop(outer_cond, outer_body,
+                                    (T, jnp.zeros((nz,), bool),
+                                     jnp.asarray(0, jnp.int32),
+                                     jnp.asarray(True)))
     return T_out
 
 
