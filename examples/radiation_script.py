@@ -58,6 +58,15 @@ print(f'thermosphere world: nz={grey_world.nz}, '
       f'T surface={grey_world.T[0, 0]:.1f} K '
       f'(saved grey_equilibrium.gif)')
 
+'''Evolution with tau: staged lw->sw ramp (radiation_script.py:54-116)'''
+from staged_tau_ramp import run_staged_tau_ramp
+
+ramp_world, ramp_data = run_staged_tau_ramp(
+    nz='auto', ny=ny, conv_adjust=conv_adjust, out_dir=OUT)
+print(f'staged tau ramp: {len(ramp_data["t"])} frames, final T_surface='
+      f'{float(np.asarray(ramp_world.T)[0, 0]):.1f} K '
+      f'(saved grey_tau_ramp.gif)')
+
 '''Ice-albedo feedback: stellar-constant sweep (radiation_script.py:152-166)'''
 stellar_constant_values = np.arange(600, 2250, 150.0)
 ice_albedo = GreyAlbedoFeedback(4.0, stellar_constant_values, nz=40, ny=16,
