@@ -251,10 +251,13 @@ def bench_real_gas_earth_ensemble(n_ensemble=64, n_nu_bands=200):
 
 def bench_real_gas_hires(nz=400, n_nu_bands=200, max_steps=500):
     """High-resolution earth column (nz=400 x 200 bands): the cached march
-    streams the two [L, nz, nz-1] transmission operators (~255 MB f32) every
-    step and runs at the HBM roofline — the config where the opt-in bf16
-    cache (cache_dtype) pays.  Throughput-only: steps capped at max_steps /
-    t_end (per-dtype counts reported; ms/step is the comparable number)."""
+    streams the summed [L, nz, nz-1] march operator (~100 MB f32;
+    real_gas_net_and_diff_cached) every step.  The opt-in bf16 cache
+    (cache_dtype, row-differenced D_sum layout) quarters those bytes but no
+    longer buys wall-clock at this size — the march is launch-bound
+    (PERF.md) — so the pair is reported as a characterization, not a
+    speedup claim.  Throughput-only: steps capped at max_steps / t_end
+    (per-dtype counts reported; ms/step is the comparable number)."""
     from climatemodel_tpu.models.real_gas import RealGas, _real_gas_evolve
     from climatemodel_tpu.spectral import earth_tables
     earth_tables.ensure_earth_tables()
@@ -283,7 +286,10 @@ def bench_real_gas_hires(nz=400, n_nu_bands=200, max_steps=500):
         res[key] = {'steps_per_sec': steps / wall,
                     'ms_per_step': 1e3 * wall / steps, 'steps': steps}
     n_lw = int(gas.band_arrays.idx.shape[0])
-    b = 2 * n_lw * nz * (nz - 1) * 4
+    # the march streams ONE summed operator M_sum [n_lw, nz, nz-1]
+    # (real_gas_net_and_diff_cached) — half the bytes of the per-direction
+    # pair the diagnostics path uses
+    b = n_lw * nz * (nz - 1) * 4
     res['f32']['min_traffic_gbs'] = b * res['f32']['steps_per_sec'] / 1e9
     res['bf16_speedup'] = (res['bf16_cache']['steps_per_sec']
                            / res['f32']['steps_per_sec'])
@@ -306,53 +312,85 @@ def bench_rce_conv():
     """Grey radiative-convective equilibrium (BASELINE config #2): the
     thermosphere world with convective adjustment inside the compiled march.
 
-    conv_method='isotonic' is the TPU-parallel adjustment (same physics); the
-    faithful group-blend iteration exists for CPU parity work.  flux_thresh is
-    tight so the march is long enough (~320 steps) to amortise the fixed
-    dispatch latency — short marches measure the tunnel, not the step."""
-    kw = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
-              conv_method='isotonic')
-    world = _thermosphere_world()
-    world.evolve_to_equilibrium(**kw)         # compile + run
-    world2 = _thermosphere_world()
-    t0 = time.perf_counter()
-    world2.evolve_to_equilibrium(**kw)
-    wall = time.perf_counter() - t0
-    days = float(world2.state.t) / 86400.0
-    steps = int(world2._equilibrium_info.steps)
-    return {'model_days_per_sec': days / wall, 'nz': world2.nz,
-            'conv_method': 'isotonic', 'steps': steps, 'wall_s': wall,
-            'steps_per_sec': steps / wall, 'ms_per_step': 1e3 * wall / steps}
+    conv_method='reference' is the faithful group-blend iteration — its
+    operator matches the executed reference to 1e-8 and its marched
+    equilibrium is certified as a fixed point of the reference's own
+    adjustment operator (tests/test_reference_parity.py; the reference's own
+    convective MARCH NaNs on this config, see CLAUDE.md) and, after the
+    dtype-aware instability
+    tolerance fix (ops/convection.py _instability_tol), runs at ~0.7 ms/step
+    on v5e (it was ~300 ms/step before the fix).  The isotonic variational
+    adjustment (Pallas kernel) is reported alongside: ~2.6x faster per step
+    but its mixed-layer boundaries differ from the reference's fixed point
+    (up to ~20 K at convective-layer edges on coarse grids — measured, CPU
+    f64, thermosphere nz=60/150).  flux_thresh is tight so the march is long
+    enough (~300 steps) to amortise the fixed dispatch latency — short
+    marches measure the tunnel, not the step."""
+    out = {}
+    for method in ('reference', 'isotonic'):
+        kw = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
+                  conv_method=method)
+        world = _thermosphere_world()
+        world.evolve_to_equilibrium(**kw)         # compile + run
+        world2 = _thermosphere_world()
+        t0 = time.perf_counter()
+        world2.evolve_to_equilibrium(**kw)
+        wall = time.perf_counter() - t0
+        days = float(world2.state.t) / 86400.0
+        steps = int(world2._equilibrium_info.steps)
+        res = {'model_days_per_sec': days / wall, 'steps': steps,
+               'wall_s': wall, 'steps_per_sec': steps / wall,
+               'ms_per_step': 1e3 * wall / steps}
+        if method == 'reference':
+            out.update(res, nz=world2.nz, conv_method='reference')
+        else:
+            out['isotonic_variant'] = res
+    return out
 
 
 def bench_rce_conv_ensemble(n_ensemble=512):
     """Vmapped convective-RCE ensemble: n independent thermosphere columns
     (varying stellar constants) marched to radiative-convective equilibrium in
-    one compiled program — the TPU-native way to run convective RCE at scale."""
+    one compiled program — the TPU-native way to run convective RCE at scale.
+
+    conv_method='reference' (the default) both carries the parity bound and
+    WINS on time-to-solution here: measured on v5e it converges 512/512
+    members in ~0.45 s wall vs the isotonic kernel's 79% in ~2.3 s (isotonic
+    fixed points keep re-triggering marginal adjustments against the
+    delta-percentile exit).  model_days_per_sec counts each member's model
+    time until ITS convergence, so the faithful method's lower number is a
+    feature — members stop marching sooner."""
     from climatemodel_tpu.models import ensemble
     world = _thermosphere_world()
     F = np.linspace(1200.0, 1500.0, n_ensemble)
     states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
     ft = jnp.asarray(1e-1, world.dtype)
-    run = lambda: ensemble.grey_evolve_ensemble(
-        states, forcings, p_int, p_c, ft, convective_adjust=True,
-        max_steps=3000)
-    out = run()
-    _sync(out)
-    wall = float('inf')
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run()
-        _sync(out)
-        wall = min(wall, time.perf_counter() - t0)
-    fs, info = out
-    t_np, steps_np, eqb_np = jax.device_get(
-        (fs.t, info.steps, info.equilibrium))
-    days = float(np.sum(t_np)) / 86400.0
-    return {'model_days_per_sec': days / wall, 'ensemble': n_ensemble,
-            'nz': world.nz, 'conv_method': 'isotonic', 'wall_s': wall,
-            'total_steps': int(np.sum(steps_np)),
-            'converged_fraction': float(np.mean(eqb_np))}
+    out = {}
+    for method in ('reference', 'isotonic'):
+        run = lambda: ensemble.grey_evolve_ensemble(
+            states, forcings, p_int, p_c, ft, convective_adjust=True,
+            max_steps=3000, conv_method=method)
+        res = run()
+        _sync(res)
+        wall = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run()
+            _sync(res)
+            wall = min(wall, time.perf_counter() - t0)
+        fs, info = res
+        t_np, steps_np, eqb_np = jax.device_get(
+            (fs.t, info.steps, info.equilibrium))
+        days = float(np.sum(t_np)) / 86400.0
+        r = {'model_days_per_sec': days / wall, 'wall_s': wall,
+             'total_steps': int(np.sum(steps_np)),
+             'converged_fraction': float(np.mean(eqb_np))}
+        if method == 'reference':
+            out.update(r, ensemble=n_ensemble, nz=world.nz,
+                       conv_method='reference')
+        else:
+            out['isotonic_variant'] = r
+    return out
 
 
 def _icy_ebm(ny, nz):
@@ -570,11 +608,12 @@ def main():
 
     # real-gas earth roofline: the cached march's per-step traffic is
     # dominated by the two packed-band einsum tensors M_up/M_down, each
-    # [n_lw_bands, nz, nz-1] f32 (models/real_gas.py:127-132) — same
-    # nz*(nz-1) count as the hires bench so the two metrics are comparable
+    # ONE summed [n_lw_bands, nz, nz-1] f32 march operator
+    # (real_gas_net_and_diff_cached) — same count as the hires bench so the
+    # two metrics are comparable
     rge = extra['real_gas_earth']
     if 'error' not in rge:
-        b = 2 * rge['n_lw_bands'] * rge['nz'] * (rge['nz'] - 1) * 4
+        b = rge['n_lw_bands'] * rge['nz'] * (rge['nz'] - 1) * 4
         rge['min_traffic_gbs'] = b * rge['steps_per_sec'] / 1e9
         rge['roofline_fraction_min_traffic'] = \
             rge['min_traffic_gbs'] / _V5E_HBM_GBS if platform != 'cpu' else None

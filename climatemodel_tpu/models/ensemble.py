@@ -47,15 +47,20 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
                          convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
                          conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                          net_flux_percentile=95, max_steps=500_000,
-                         use_delta_exit=True, conv_method='isotonic'):
+                         use_delta_exit=True, conv_method='reference'):
     """vmapped march-to-equilibrium over a leading ensemble axis of
     (states, forcings); the pressure grid is shared.
 
-    For convective ensembles the default adjustment is the fully parallel
-    isotonic form: under vmap the faithful group-iteration's data-dependent
-    while_loops run max-trip lock-step across members, so the parallel
-    closed form is the right batched kernel (same physics, see
-    ops/convection.py)."""
+    The default adjustment is the faithful group-blend iteration: it carries
+    the <0.1 K reference-equilibrium parity bound AND, measured on v5e at
+    512 members x nz=150, it converges 100% of members in 0.45 s wall vs the
+    isotonic kernel's 79% in 2.3 s — the isotonic fixed points sit less well
+    with the delta-percentile exit, so members keep re-triggering marginal
+    adjustments.  Under vmap the faithful method's data-dependent while_loops
+    run lock-step at the slowest member's trip count, but after the
+    dtype-aware instability tolerance (ops/convection.py _instability_tol)
+    typical trip counts are 1-3 sweeps.  conv_method='isotonic' remains the
+    fully parallel variational alternative (Pallas lane-batched kernel)."""
     def one(state, forcing):
         net_fn = lambda T: grey_net_flux(T, forcing)
         return column.evolve_to_equilibrium(
@@ -113,7 +118,7 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
                              convective_adjust=False, t_end=4.0,
                              conv_thresh=1e-5, conv_t_multiplier=5.0,
                              max_steps=500_000, use_delta_exit=True,
-                             conv_method='isotonic', stacked_tau=False,
+                             conv_method='reference', stacked_tau=False,
                              cache_dtype=None):
     """vmapped real-gas march over a leading ensemble axis.
 
@@ -131,8 +136,8 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
     ~ n * L * nz^2 floats) — the GHG-ladder workload the reference runs as a
     sequential Python loop of full marches (real_gas_script.py:27-40).
     """
-    from .real_gas import (_net_and_diff, precompute_transmission,
-                           real_gas_fluxes_cached)
+    from .real_gas import (precompute_transmission,
+                           real_gas_net_and_diff_cached)
 
     shared_cache = None if stacked_tau else \
         precompute_transmission(tau_interface, ba, cache_dtype)
@@ -141,9 +146,8 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
         cache = precompute_transmission(tau_i, ba, cache_dtype) \
             if stacked_tau else shared_cache
         def net_fn(T):
-            up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
-                                              F_star_factor * scale)
-            return _net_and_diff(up, down, delta)
+            return real_gas_net_and_diff_cached(T[:, 0], T_g, cache, ba,
+                                                F_star_factor * scale, delta)
         return column.evolve_to_equilibrium(
             state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
             convective_adjust=convective_adjust, t_end=t_end,

@@ -319,18 +319,19 @@ class GreyGas:
         """
         # data_dict=None restarts the clock (base.py:301-306) — each fresh
         # call gets the t=0 forced first step, so a localized forcing change
-        # can't look instantly 'converged'; t must be synced BEFORE the
-        # T_initial t==0 check (a passed data_dict may itself start at 0)
-        if data_dict is None:
-            self._state = self._state.replace(t=jnp.asarray(0.0, self.dtype))
-        else:
-            self._state = self._state.replace(
-                t=jnp.asarray(data_dict['t'][-1], self.dtype))
-        if T_initial is not None and float(self._state.t) == 0:
+        # can't look instantly 'converged'.  The starting t is tracked as a
+        # HOST value so neither the T_initial t==0 check nor the fresh
+        # data_dict seed forces a device sync (each eager pull is a ~25 ms
+        # tunnel round trip — they dominated single-march walls); the fresh
+        # seed's T snapshot is deferred into the march's final batched pull.
+        t_host = 0.0 if data_dict is None else float(data_dict['t'][-1])
+        self._state = self._state.replace(t=jnp.asarray(t_host, self.dtype))
+        if T_initial is not None and t_host == 0:
             self.T = T_initial
+        T_seed_dev = None
         if data_dict is None:
-            t_np, T_np = jax.device_get((self._state.t, self._state.T))
-            data_dict = {'t': [float(t_np)], 'T': [np.asarray(T_np)]}
+            T_seed_dev = self._state.T        # device ref; pulled at the end
+            data_dict = {'t': [t_host], 'T': [None]}
 
         forcing = self.forcing              # hoist: one upload, not per chunk
         if not save:
@@ -386,8 +387,10 @@ class GreyGas:
             self._fluxes = tuple(
                 jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,
                                                          forcing))
-            self._equilibrium_info, t_np, T_np = jax.device_get(
-                (info, self._state.t, self._state.T))
+            self._equilibrium_info, t_np, T_np, T_seed_np = jax.device_get(
+                (info, self._state.t, self._state.T, T_seed_dev))
+            if T_seed_np is not None:
+                data_dict['T'][0] = np.asarray(T_seed_np)
             if bool(self._equilibrium_info.nan):
                 raise FloatingPointError(
                     'non-finite temperature or flux encountered during the '
@@ -414,6 +417,8 @@ class GreyGas:
         ft = jnp.asarray(flux_thresh, self.dtype)
         with_fluxes = 'flux' in data_dict
         with_tau = 'tau' in data_dict
+        if T_seed_dev is not None:    # snapshot path appends per chunk anyway
+            data_dict['T'][0] = np.asarray(jax.device_get(T_seed_dev))
         chunk = int(chunk_steps) if chunk_steps else 256
         i0 = 0
         t_start = data_dict['t'][-1]

@@ -69,7 +69,27 @@ class TransmissionCache:
     """tau-dependent factors of the flux equations, constant during a march
     (the optical depth only changes with composition, not temperature): the
     per-band attenuation vectors, and the flux-integral weight products
-    W x dTr folded into matmul-ready operators."""
+    W x dTr folded into matmul-ready operators.
+
+    The march path (real_gas_net_and_diff_cached) only ever consumes the SUM
+    of the two interior operators — up's integral enters net with -m_up and
+    down's with -m_down — so the cache carries a dedicated march operator in
+    addition to the per-direction ones the diagnostics need:
+
+    * full precision: ``M_sum = M_up + M_down`` [L, nz, nz-1] — the march
+      streams HALF the bytes of the two-operator formulation;
+    * reduced ``cache_dtype`` (bf16): the ROW-DIFFERENCED sum
+      ``D_sum[b, i, :] = M_sum[b, i+1, :] - M_sum[b, i, :]`` in the reduced
+      dtype plus the f32 first row — a QUARTER of the f32 two-operator
+      bytes.  The heating tendency consumes adjacent-row flux DIFFERENCES,
+      and quantizing D bounds the tendency noise by
+      eps_bf16 * |local flux divergence| instead of eps_bf16 * |flux|:
+      directly-quantized operators turn ~0.4% of the ~1e2 W/m^2 flux into a
+      BIASED spurious tendency at micro-mass TOA levels (measured
+      ~0.3 K/day at nz=400 where the true tendency is ~0; marches ran away
+      to the negative-T abort over ~1e4 steps).  In this layout the
+      per-direction operators are kept in the reduced dtype too, for the
+      (rare, value-level) diagnostics flux evaluations."""
     att_up: jnp.ndarray       # [B, nz]
     att_down: jnp.ndarray     # [B, nz]
     M_up: jnp.ndarray         # [L, nz, nz-1]  interior-up operator
@@ -78,19 +98,28 @@ class TransmissionCache:
     sf_up: jnp.ndarray        # [L, nz]  surface term coefficients
     toa_down: jnp.ndarray     # [L, nz]  TOA term coefficients
     hi_down: jnp.ndarray      # [L, nz]  upper-interface term coefficients
+    M_sum: jnp.ndarray = None     # [L, nz, nz-1] march operator (f32 layout)
+    D_sum: jnp.ndarray = None     # [L, nz-1, nz-1] row-differenced march
+    #                               operator (reduced layout)
+    row0_sum: jnp.ndarray = None  # [L, nz-1] f32 first row of M_sum
 
 
 def precompute_transmission(tau_interface, ba: BandArrays,
                             cache_dtype=None) -> TransmissionCache:
     """Fold everything tau-dependent out of the per-step flux computation.
 
-    :param cache_dtype: optional storage dtype for the two [L, nz, nz-1]
-        interior operators (e.g. ``jnp.bfloat16``): the cached march streams
-        them from HBM every step, so halving their bytes lifts the
-        bandwidth-bound GEMV ~2x on TPU.  The einsum accumulates in f32
-        (``preferred_element_type``); rank-1 terms stay full precision.
-        Opt-in: bf16 carries ~3 significant digits, so equilibria shift at
-        the ~0.1 K level (bounded in tests/test_real_gas_perf_modes.py).
+    :param cache_dtype: optional storage dtype for the interior operators
+        (e.g. ``jnp.bfloat16``): quarters the march-streamed bytes and
+        roughly halves cache memory.  The reduced-precision layout stores
+        the ROW-DIFFERENCED summed operator (see TransmissionCache) so the
+        quantization error lands on the already-small adjacent-row flux
+        differences the tendency consumes, not on the absolute fluxes;
+        matmuls accumulate in f32 (``preferred_element_type``); rank-1
+        terms stay full precision.  Opt-in, for memory-constrained caches
+        (e.g. stacked_tau ladders at high nz): with the summed f32 march
+        operator the single-column march is launch-bound on v5e, so bf16 no
+        longer buys wall-clock there (PERF.md); endpoint shifts ~0.4 K
+        (bounded in tests/test_real_gas_perf_modes.py).
     """
     nz = tau_interface.shape[0]
     att_up = tr.band_attenuation(tau_interface, ba.idx, ba.w, ba.delta,
@@ -114,12 +143,19 @@ def precompute_transmission(tau_interface, ba: BandArrays,
     hi_down = ba.W_down[None, :, nz] * diag_dn
     # M_down[b, j, m] = W_down[j, 1+m] * dTr_dn[b, m, j]
     M_down = jnp.swapaxes(dTr_dn, 1, 2) * ba.W_down[None, :, 1:nz]
+    M_sum = M_up + M_down
     if cache_dtype is not None:
-        M_up = M_up.astype(cache_dtype)
-        M_down = M_down.astype(cache_dtype)
+        D_sum = (M_sum[:, 1:, :] - M_sum[:, :-1, :]).astype(cache_dtype)
+        return TransmissionCache(att_up=att_up, att_down=att_down,
+                                 M_up=M_up.astype(cache_dtype),
+                                 M_down=M_down.astype(cache_dtype),
+                                 lo_up=lo_up, sf_up=sf_up, toa_down=toa_down,
+                                 hi_down=hi_down, D_sum=D_sum,
+                                 row0_sum=M_sum[:, 0, :])
     return TransmissionCache(att_up=att_up, att_down=att_down, M_up=M_up,
                              M_down=M_down, lo_up=lo_up, sf_up=sf_up,
-                             toa_down=toa_down, hi_down=hi_down)
+                             toa_down=toa_down, hi_down=hi_down,
+                             M_sum=M_sum)
 
 
 def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
@@ -138,15 +174,18 @@ def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
     B_g = jnp.pi * B_wavenumber(ba.lw_centre, T_g)
 
     # the GEMV accumulates in f32 even when the cached operators are stored
-    # bf16 (see precompute_transmission's cache_dtype)
-    B_c_m = B_c.astype(cache.M_up.dtype)
-    integral_up = -(cache.lo_up * B_int
-                    + jnp.einsum('bim,bm->bi', cache.M_up, B_c_m,
-                                 preferred_element_type=B_c.dtype)
-                    + cache.sf_up * B_g[:, None])
-    integral_down = (cache.toa_down * B_int[:, :1]
-                     + jnp.einsum('bim,bm->bi', cache.M_down, B_c_m,
-                                  preferred_element_type=B_c.dtype)
+    # bf16 (see precompute_transmission's cache_dtype); this per-direction
+    # evaluation is the DIAGNOSTICS path (saved animation fluxes, OLR) —
+    # marches go through real_gas_net_and_diff_cached
+    op_dtype = (cache.M_up.dtype if jax.default_backend() == 'tpu'
+                else B_c.dtype)
+    B_c_m = B_c.astype(op_dtype)
+    m_up = jnp.einsum('bim,bm->bi', cache.M_up.astype(op_dtype), B_c_m,
+                      preferred_element_type=B_c.dtype)
+    m_down = jnp.einsum('bim,bm->bi', cache.M_down.astype(op_dtype), B_c_m,
+                        preferred_element_type=B_c.dtype)
+    integral_up = -(cache.lo_up * B_int + m_up + cache.sf_up * B_g[:, None])
+    integral_down = (cache.toa_down * B_int[:, :1] + m_down
                      + cache.hi_down * B_int)
     up = up.at[ba.lw_list].add(integral_up)
     down = down.at[ba.lw_list].add(integral_down)
@@ -232,6 +271,72 @@ def _net_and_diff(up, down, delta):
     return net, net_diff
 
 
+def real_gas_net_and_diff_cached(T, T_g, cache: TransmissionCache,
+                                 ba: BandArrays, F_star_factor, delta):
+    """March-path (net, net_diff) — the per-step hot function.
+
+    Net flux only ever consumes the interior operators through
+    -(m_up + m_down), so the march streams the summed operator: M_sum
+    [L, nz, nz-1] in f32 (half the bytes of the per-direction pair) or the
+    row-differenced D_sum [L, nz-1, nz-1] in the reduced dtype (a quarter).
+
+    Full-precision layout: one [L, nz, nz-1] einsum materialises the
+    per-band m_sum rows so the adjacent-interface difference can be taken
+    PER BAND before the band reduction — the conditioning that fixed
+    BENCH_r02's failed ensemble member (see :func:`_net_and_diff`).
+
+    Reduced layout: band-reduce FIRST, reconstruct after.  The per-band
+    m rows never materialise — only their band-weighted sum enters net — so
+    the per-step heavy work is exactly ONE reduced-precision einsum over
+    D_sum, followed by rank-1 f32 base terms and a single [nz-1]-vector
+    prefix (a generated-triangular matvec: jnp.cumsum lowers to a log-depth
+    chain of small kernels that measurably ate the bandwidth win).  The
+    operator part of net_diff IS the quantized E — tendency noise is bounded
+    by the local flux divergence, not the absolute flux."""
+    up0 = jnp.pi * B_wavenumber(ba.centre, T_g)
+    T_interface = ba.S @ T
+    T_interface = T_interface.at[-1].set(T_g)
+    B_c = jnp.pi * B_wavenumber(ba.lw_centre[:, None], T[None, :])
+    B_int = jnp.pi * B_wavenumber(ba.lw_centre[:, None], T_interface[None, :])
+    B_g = jnp.pi * B_wavenumber(ba.lw_centre, T_g)
+
+    # base (everything except the interior operators): rank-1 f32 terms
+    ud_base = up0[:, None] * cache.att_up \
+        - F_star_factor[:, None] * cache.att_down                # [B, nz]
+    lw_base = -(cache.lo_up * B_int + cache.sf_up * B_g[:, None]) \
+        - (cache.toa_down * B_int[:, :1] + cache.hi_down * B_int)  # [L, nz]
+
+    if cache.M_sum is not None:
+        m_sum = jnp.einsum('bim,bm->bi', cache.M_sum, B_c,
+                           preferred_element_type=B_c.dtype)     # [L, nz]
+        ud = ud_base.at[ba.lw_list].add(lw_base - m_sum)
+        w = ud * delta[:, None]                                  # [B, nz]
+        net = jnp.sum(w, axis=0)
+        net_diff = jnp.sum(w[:, 1:] - w[:, :-1], axis=0)
+        return net[:, None], net_diff[:, None]
+
+    ud_base = ud_base.at[ba.lw_list].add(lw_base)
+    w = ud_base * delta[:, None]                                 # [B, nz]
+    net_base = jnp.sum(w, axis=0)                                # [nz]
+    diff_base = jnp.sum(w[:, 1:] - w[:, :-1], axis=0)            # [nz-1]
+
+    # XLA:CPU lacks a BF16xBF16->F32 dot for these shapes — upcast off-TPU
+    op_dtype = (cache.D_sum.dtype if jax.default_backend() == 'tpu'
+                else B_c.dtype)
+    E = jnp.einsum('bim,bm->bi', cache.D_sum.astype(op_dtype),
+                   B_c.astype(op_dtype),
+                   preferred_element_type=B_c.dtype)             # [L, nz-1]
+    dl = delta[ba.lw_list]                                       # [L]
+    c0 = -jnp.sum(dl * jnp.einsum('bm,bm->b', cache.row0_sum, B_c))
+    g = -(E.T @ dl)                                              # [nz-1]
+    nz_i = g.shape[0] + 1
+    tri = (jnp.arange(nz_i)[:, None]
+           > jnp.arange(nz_i - 1)[None, :]).astype(B_c.dtype)
+    net = net_base + c0 + tri @ g
+    net_diff = diff_base + g
+    return net[:, None], net_diff[:, None]
+
+
 # jitted aliases for host-side diagnostics: eager dispatch of the band einsums
 # is latency-bound through the axon tunnel
 _real_gas_fluxes_jit = jax.jit(real_gas_fluxes)
@@ -258,9 +363,8 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
     cache = precompute_transmission(tau_interface, ba, cache_dtype)
 
     def net_fn(T):
-        up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
-                                          F_star_factor)
-        return _net_and_diff(up, down, delta)
+        return real_gas_net_and_diff_cached(T[:, 0], T_g, cache, ba,
+                                            F_star_factor, delta)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
         convective_adjust=convective_adjust, t_end=t_end,
@@ -287,9 +391,8 @@ def _real_gas_evolve_snapshots(state: ColumnState, T_g, tau_interface,
     cache = precompute_transmission(tau_interface, ba, cache_dtype)
 
     def net_fn(T):
-        up, down = real_gas_fluxes_cached(T[:, 0], T_g, cache, ba,
-                                          F_star_factor)
-        return _net_and_diff(up, down, delta)
+        return real_gas_net_and_diff_cached(T[:, 0], T_g, cache, ba,
+                                            F_star_factor, delta)
 
     snap_fn = None
     if with_fluxes:
@@ -631,18 +734,22 @@ class RealGas:
             ``chunk_steps=1000`` when chunking wasn't requested.
         """
         # data_dict=None restarts the clock (base.py:301-306): each fresh call
-        # gets the t=0 forced first step; t syncs BEFORE the T_initial check
-        if data_dict is None:
-            self._state = self._state.replace(t=jnp.asarray(0.0, self.dtype))
-        else:
-            self._state = self._state.replace(
-                t=jnp.asarray(data_dict['t'][-1], self.dtype))
-        if T_initial is not None and float(self._state.t) == 0:
+        # gets the t=0 forced first step.  The starting t is tracked as a
+        # HOST value so neither the T_initial t==0 check nor the fresh
+        # data_dict seed forces a device sync (a ~25 ms tunnel round trip
+        # each — they dominated single-march walls); the fresh seed's T
+        # snapshot is deferred into the march's final batched pull.
+        t_host = 0.0 if data_dict is None else float(data_dict['t'][-1])
+        self._state = self._state.replace(t=jnp.asarray(t_host, self.dtype))
+        if T_initial is not None and t_host == 0:
             self.T = T_initial
+        T_seed_dev = None
         if data_dict is None:
-            t_np, T_np = jax.device_get((self._state.t, self._state.T))
-            data_dict = {'t': [float(t_np)], 'T': [np.asarray(T_np)]}
+            T_seed_dev = self._state.T        # device ref; pulled at the end
+            data_dict = {'t': [t_host], 'T': [None]}
         if save:
+            if T_seed_dev is not None:   # snapshot path pulls per chunk anyway
+                data_dict['T'][0] = np.asarray(jax.device_get(T_seed_dev))
             # fused snapshot march: chunks of per-step snapshots as one
             # lax.scan each, one batched device_get per chunk (the reference's
             # loop syncs twice per step; real_gas.py:720-746 save semantics,
@@ -758,8 +865,11 @@ class RealGas:
                 tsi=column.reset_time_step_info(self._state.tsi))
         # batch every device->host read into one transfer (each separate sync
         # is a full tunnel round trip on axon)
-        self._equilibrium_info, nf_np, t_np, T_np = jax.device_get(
-            (info, self._state.net_flux, self._state.t, self._state.T))
+        self._equilibrium_info, nf_np, t_np, T_np, T_seed_np = jax.device_get(
+            (info, self._state.net_flux, self._state.t, self._state.T,
+             T_seed_dev))
+        if T_seed_np is not None:
+            data_dict['T'][0] = np.asarray(T_seed_np)
         if bool(self._equilibrium_info.nan):
             raise FloatingPointError(
                 'non-finite temperature or flux encountered during the march '

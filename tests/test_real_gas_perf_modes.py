@@ -1,6 +1,20 @@
 """Opt-in performance modes of the real-gas march: the bf16 transmission
-cache trades ~3 significant digits in the cached [L, nz, nz-1] operators for
-half the per-step HBM traffic (models/real_gas.py precompute_transmission)."""
+cache trades ~3 significant digits in the cached interior operators for half
+the per-step HBM traffic (models/real_gas.py precompute_transmission).
+
+The reduced-precision cache stores ROW-DIFFERENCED operators (D-layout, see
+TransmissionCache): quantizing the adjacent-row differences instead of the
+absolute operators bounds the heating-tendency noise by the local flux
+divergence, not the absolute flux — directly-quantized bf16 operators put a
+biased ~0.3 K/day spurious tendency on radiatively-decoupled micro-mass TOA
+levels at nz=400 (measured) and marched them to the negative-T abort.
+
+Measured endpoint shifts (pure-f32 CPU marches, optically active tau > 0.3):
+single_line nz=40: 0.40 K max; single_line nz=400: 0.35 K max.  The 4-gas
+fabricated-earth column is NOT a bf16-safe config: its near-decoupled
+cold-trap levels around 1e4 Pa have enormous dT/dF and shift by tens of K
+under ANY ~0.4% flux perturbation (31 K with the old M-layout, 25 K with the
+D-layout) — documented in PERF.md, not asserted here."""
 import numpy as np
 import pytest
 
@@ -36,6 +50,66 @@ def test_bf16_cache_equilibrium_close_to_f32():
     err = np.abs(np.asarray(ref.T) - np.asarray(fast.T))[act]
     assert float(err.max()) < 1.0
     assert np.isfinite(np.asarray(fast.T)).all()
+
+
+def test_bf16_diff_layout_flux_reconstruction():
+    """The D-layout reconstructs flux VALUES at f32-like conditioning and its
+    adjacent-row flux differences (what the tendency consumes) carry far less
+    noise than eps_bf16 * |flux|."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.models.real_gas import (
+        _net_and_diff, precompute_transmission, real_gas_fluxes_cached,
+        real_gas_net_and_diff_cached)
+    gas = _make()
+    T = jnp.asarray(np.asarray(gas.T)[:, 0])
+    T_g = jnp.asarray(gas.T_g, gas.dtype)
+    delta = jnp.asarray(gas.nu_bands['delta'], gas.dtype)
+    outs, marchs = {}, {}
+    for name, cd in (('f32', None), ('bf16', jnp.bfloat16)):
+        cache = precompute_transmission(gas.tau_device, gas.band_arrays, cd)
+        if cd is not None:
+            assert cache.M_sum is None and cache.D_sum is not None
+        up, down = real_gas_fluxes_cached(
+            T, T_g, cache, gas.band_arrays, gas._F_star_factor)
+        outs[name] = _net_and_diff(up, down, delta)
+        marchs[name] = real_gas_net_and_diff_cached(
+            T, T_g, cache, gas.band_arrays, gas._F_star_factor, delta)
+    net_scale = float(jnp.abs(outs['f32'][0]).max())
+    for pair in (outs, marchs):
+        # values: within ~bf16 epsilon of the flux scale on both paths
+        assert float(jnp.abs(pair['bf16'][0]
+                             - pair['f32'][0]).max()) < 8e-3 * net_scale
+    # the MARCH path's tendency differences are an order of magnitude
+    # tighter than eps_bf16 * |flux| (the quantized quantity IS the
+    # difference); the diagnostics path quantizes the operators directly
+    # and only carries the value-level bound above
+    diff_err = float(jnp.abs(marchs['bf16'][1] - marchs['f32'][1]).max())
+    assert diff_err < 8e-4 * net_scale
+    # the march path's f32 layout (summed operator M_sum) agrees with the
+    # per-direction diagnostics path to f32 rounding of the flux scale
+    np.testing.assert_allclose(np.asarray(marchs['f32'][0]),
+                               np.asarray(outs['f32'][0]),
+                               atol=3e-5 * net_scale)
+
+
+def test_bf16_cache_hires_march_stable():
+    """nz=400 pure-f32 march with the bf16 cache converges (the M-layout
+    crashed it with a negative-T abort) and lands within 1 K of f32."""
+    import jax.numpy as jnp
+    ref = _make_hires()
+    ref.evolve_to_equilibrium(flux_thresh=1e-2, save=False, t_end=20.0)
+    fast = _make_hires(cache_dtype=jnp.bfloat16)
+    fast.evolve_to_equilibrium(flux_thresh=1e-2, save=False, t_end=20.0)
+    act = _active_cells(ref)
+    err = np.abs(np.asarray(ref.T) - np.asarray(fast.T))[act]
+    assert float(err.max()) < 1.0          # measured 0.35 K
+
+
+def _make_hires(cache_dtype=None):
+    return RealGas(nz=400, ny=1, molecule_names=['single_line'], T_g=260.0,
+                   q_funcs={'single_line': humidity.co2},
+                   q_funcs_args={'single_line': ()}, delta_temp_change=0.1,
+                   dtype=np.float32, cache_dtype=cache_dtype)
 
 
 def test_bf16_cache_ensemble_path():
