@@ -89,19 +89,22 @@ def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_c
 # march passes a growing i0+chunk_steps and must not retrace per chunk
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
-                                             'conv_method', 'final_reset'))
+                                             'conv_method', 'final_reset',
+                                             'check_every'))
 def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
                  p_centre_col, flux_thresh, convective_adjust=False, t_end=4.0,
                  conv_thresh=1e-5, conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                  net_flux_percentile=95, max_steps=500_000,
-                 conv_method='reference', i0=0, final_reset=True):
+                 conv_method='reference', i0=0, final_reset=True,
+                 check_every=1):
     net_fn = lambda T: grey_net_flux(T, forcing)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
         convective_adjust=convective_adjust, t_end=t_end, conv_thresh=conv_thresh,
         conv_t_multiplier=conv_t_multiplier, net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
-        conv_method=conv_method, i0=i0, final_reset=final_reset)
+        conv_method=conv_method, i0=i0, final_reset=final_reset,
+        check_every=check_every)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'conv_method',
@@ -302,7 +305,7 @@ class GreyGas:
                               T_initial=None, convective_adjust=False, save=True,
                               t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
                               verbose=False, conv_method='reference',
-                              chunk_steps=None) -> dict:
+                              chunk_steps=None, check_every=1) -> dict:
         """March to equilibrium (base.py:266-335).
 
         save=False runs a single fused lax.while_loop on device (fast path);
@@ -316,6 +319,11 @@ class GreyGas:
             steps, returning to the host between chunks — use for long
             convective marches on accelerators whose runtimes kill
             single executions running for minutes.
+        :param check_every: evaluate the exit criteria every this many steps
+            (save=False path only) — amortises the per-step percentile/exit
+            machinery that dominates small-column marches on TPU; may
+            overshoot the exit by up to check_every-1 steps (see
+            column.evolve_to_equilibrium).  Default 1 = reference semantics.
         """
         # data_dict=None restarts the clock (base.py:301-306) — each fresh
         # call gets the t=0 forced first step, so a localized forcing change
@@ -349,7 +357,7 @@ class GreyGas:
                     convective_adjust=convective_adjust, t_end=float(t_end),
                     conv_thresh=conv_thresh,
                     conv_t_multiplier=conv_t_multiplier,
-                    conv_method=conv_method)
+                    conv_method=conv_method, check_every=int(check_every))
             else:
                 i0 = 0
                 t_start = t_chunk_start = data_dict['t'][-1]
@@ -364,7 +372,8 @@ class GreyGas:
                         t_end=t_end_chunk, conv_thresh=conv_thresh,
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method, i0=i0,
-                        max_steps=i0 + int(chunk_steps), final_reset=False)
+                        max_steps=i0 + int(chunk_steps), final_reset=False,
+                        check_every=int(check_every))
                     steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, \
                         tout_np = jax.device_get(
                             (info.steps, info.delta_net_flux, self._state.t,

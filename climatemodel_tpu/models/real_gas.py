@@ -349,14 +349,14 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
                                              'conv_method', 'final_reset',
-                                             'cache_dtype'))
+                                             'cache_dtype', 'check_every'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
                      F_star_factor, delta, p_interface, p_centre_col,
                      flux_thresh, convective_adjust=False, t_end=4.0,
                      conv_thresh=1e-5, conv_t_multiplier=5.0,
                      net_flux_thresh=1e-7, net_flux_percentile=95,
                      max_steps=500_000, conv_method='reference', i0=0,
-                     final_reset=True, cache_dtype=None):
+                     final_reset=True, cache_dtype=None, check_every=1):
     # tau (composition) is fixed during the march: hoist the transmission
     # matrices and integral-weight products out of the loop; each step is then
     # a couple of small batched matmuls over the Planck factors.
@@ -372,7 +372,7 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
         net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
         p_descending=False, conv_method=conv_method, i0=i0,
-        final_reset=final_reset)
+        final_reset=final_reset, check_every=check_every)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'n_snaps',
@@ -723,7 +723,7 @@ class RealGas:
                               T_initial=None, convective_adjust=False,
                               save=False, t_end=4.0, conv_thresh=1e-5,
                               conv_t_multiplier=5, conv_method='reference',
-                              chunk_steps=None, verbose=False):
+                              chunk_steps=None, verbose=False, check_every=1):
         """March to equilibrium (base.py:266-335) with the fused device loop.
 
         :param chunk_steps: split the fused march into device calls of this
@@ -732,6 +732,11 @@ class RealGas:
         :param verbose: print per-chunk convergence telemetry (steps, t,
             delta_net_flux — the base.py:324-327 progress line); implies
             ``chunk_steps=1000`` when chunking wasn't requested.
+        :param check_every: evaluate the exit criteria every this many steps
+            (save=False path only) — amortises the per-step percentile/exit
+            machinery that bounds single-column marches on TPU; may overshoot
+            the exit by up to check_every-1 steps (see
+            column.evolve_to_equilibrium).  Default 1 = reference semantics.
         """
         # data_dict=None restarts the clock (base.py:301-306): each fresh call
         # gets the t=0 forced first step.  The starting t is tracked as a
@@ -830,7 +835,8 @@ class RealGas:
                 jnp.asarray(self.p[:, 0], self.dtype))
         kw = dict(convective_adjust=convective_adjust,
                   conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
-                  conv_method=conv_method, cache_dtype=self.cache_dtype)
+                  conv_method=conv_method, cache_dtype=self.cache_dtype,
+                  check_every=int(check_every))
         ft = jnp.asarray(flux_thresh, self.dtype)
         if chunk_steps is None:
             self._state, info = _real_gas_evolve(self._state, *args, ft,

@@ -198,3 +198,48 @@ def test_equilibrium_sol_sw_requires_single_latitude():
                                       0.6])
     with pytest.raises(ValueError, match='single latitude'):
         world.equilibrium_sol()
+
+
+def test_check_every_chunked_exit():
+    """check_every=K marches are the SAME physics at a coarser exit cadence:
+    capped at an identical step count (max_steps, no exit firing) the K=1 and
+    K=4 states are bit-identical (the reduced steps skip only the exit
+    statistics, column.py _march_body); a full adaptive march with K=4 still
+    converges and lands on the same equilibrium."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.models.grey import _grey_evolve
+
+    def make():
+        return GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                       tau_lw_func_args=[100000, 4])
+
+    # 14 steps (the 2-step fully-checked prefix + 3 chunks of 4), tiny
+    # threshold so no exit fires: bit-identical trajectories
+    states = {}
+    for k in (1, 4):
+        w = make()
+        st, info = _grey_evolve(
+            w.state, w.forcing, jnp.asarray(w.p_interface, w.dtype),
+            jnp.asarray(w.p[:, 0], w.dtype), jnp.asarray(1e-12, w.dtype),
+            t_end=1e9, max_steps=14, check_every=k)
+        assert int(info.steps) == 14
+        states[k] = st
+    np.testing.assert_array_equal(np.asarray(states[1].T),
+                                  np.asarray(states[4].T))
+    np.testing.assert_array_equal(np.asarray(states[1].t),
+                                  np.asarray(states[4].t))
+
+    # full adaptive march: K=4 converges to the same equilibrium (it may
+    # march a little longer: the exit is detected at the first check at or
+    # after the K=1 exit point, and the i==1 threshold tightening samples a
+    # later delta)
+    w1, w4 = make(), make()
+    # march twice (the reference experiments' pattern for tight equilibria —
+    # a single call's delta-percentile exit can stop with the surface cell
+    # ~1 K off balance, and the two cadences sample that exit differently)
+    for _ in range(2):
+        w1.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+        w4.evolve_to_equilibrium(flux_thresh=1e-3, save=False, check_every=4)
+    assert bool(np.asarray(w4._equilibrium_info.equilibrium))
+    active = w1.tau[:, 0] > 0.03
+    assert np.abs(np.asarray(w1.T) - np.asarray(w4.T))[active].max() < 0.2
