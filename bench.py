@@ -338,7 +338,10 @@ def bench_grey_single_column(nz=150):
         kw = dict(flux_thresh=1e-3, save=False, check_every=K)
         _thermosphere_world(nz).evolve_to_equilibrium(**kw)     # compile
         wall = float('inf')
-        for _ in range(3):
+        # best-of-5: each march is only ~0.05-0.15 s, so a single tunnel
+        # hiccup (~25 ms round trips dominate this config) flips the
+        # per-step vs chunked comparison — more repeats, keep the min
+        for _ in range(5):
             w = _thermosphere_world(nz)
             t0 = time.perf_counter()
             w.evolve_to_equilibrium(**kw)

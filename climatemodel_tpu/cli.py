@@ -187,7 +187,8 @@ def _cmd_grey(args):
     world.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
                                 convective_adjust=args.convective,
                                 conv_method=args.conv_method,
-                                verbose=args.verbose)
+                                verbose=args.verbose,
+                                check_every=args.check_every)
     info = world._equilibrium_info
     print(json.dumps({'world': args.world, 'nz': world.nz, 'ny': args.ny,
                       'steps': int(info.steps),
@@ -357,6 +358,9 @@ def main(argv=None):
     p.add_argument('--ny', type=int, default=1)
     p.add_argument('--flux-thresh', type=float, default=1e-3)
     p.add_argument('--convective', action='store_true')
+    p.add_argument('--check-every', type=int, default=1,
+                   help='evaluate the march exit criteria every N steps '
+                        '(chunked exit; 1 = reference per-step cadence)')
     p.add_argument('--conv-method', choices=['reference', 'isotonic'],
                    default='isotonic')
     p.add_argument('--verbose', action='store_true')

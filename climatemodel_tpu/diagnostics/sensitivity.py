@@ -1,0 +1,201 @@
+"""Equilibrium climate sensitivities by implicit differentiation.
+
+A framework extra with no reference counterpart: the reference can only
+estimate a sensitivity by perturbing a parameter and RE-MARCHING to
+equilibrium (e.g. the ice-albedo hysteresis loop re-equilibrates per ramp
+step, ice_albedo_feedback.py:139-166; the GHG ladders re-march per
+composition, real_gas_script.py:27-40).  Because the whole radiation operator
+here is a differentiable JAX function, the linear response of the equilibrium
+itself is available directly from the implicit function theorem:
+
+    the march's fixed point satisfies  F(T*, theta) = 0,   where F is the
+    cellwise heating tendency  dT/dt = g/c_p * dF_net/dp,  so
+
+    dT*/dtheta = -(dF/dT)^{-1} (dF/dtheta)          evaluated AT equilibrium
+
+— one Jacobian (``jax.jacfwd`` over the fused flux operator, an [n, n]
+matrix with n = nz-1 cells) and one linear solve, instead of a re-march per
+parameter.  The Jacobian's diagonal is the Planck feedback (4 sigma T^3
+cooling-to-space makes it strongly negative), which keeps the active-region
+system well conditioned.
+
+Caveats (documented, asserted in tests):
+
+* valid for RADIATIVE equilibria.  A radiative-convective equilibrium is the
+  fixed point of (adjustment o step) — the adjustment operator is piecewise
+  and its active-set can change under the perturbation, so the pure-radiative
+  Jacobian is wrong inside convective layers.
+* the full-system solve is the default and is usually well conditioned even
+  at optically thin levels (measured cond(J) ~ 26 on the nz=40 exponential
+  world; every cell's own Planck emission keeps its diagonal alive, and the
+  thin cells' transmission feedback onto the active region is REAL — masking
+  them to dT=0 biased active-region sensitivities by ~9%).  For worlds with
+  genuinely decoupled micro-mass levels (thermosphere p_toa ~ 0.1 Pa) an
+  ``active`` mask can be passed to force dT = 0 outside it — those levels'
+  equilibria are path-dependent anyway (CLAUDE.md).
+* the response is LINEAR — a 1% insolation sensitivity extrapolates, a
+  bifurcation (ice-albedo snowball jump) does not.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import g, c_p_dry
+
+
+def _masked_solve(J, b, active=None):
+    """Solve J dT = b; with an ``active`` mask, inactive rows/cols are
+    replaced by identity rows (their dT is forced to b=0), keeping one
+    static-shape dense solve instead of a gather to a dynamic submatrix."""
+    if active is None:
+        return jnp.linalg.solve(J, b)
+    n = J.shape[0]
+    both = active[:, None] & active[None, :]
+    eye = jnp.eye(n, dtype=J.dtype)
+    J_m = jnp.where(both, J, eye)
+    b_m = jnp.where(active, b, 0.0)
+    return jnp.linalg.solve(J_m, b_m)
+
+
+def equilibrium_sensitivity(tendency_fn, T_eq, d_tendency, active=None):
+    """dT* in a perturbation direction, by the implicit function theorem.
+
+    :param tendency_fn: T [n] -> heating tendency [n] (K/s) at fixed
+        parameters; must be JAX-differentiable.
+    :param T_eq: [n] equilibrium temperatures (tendency_fn(T_eq) ~ 0).
+    :param d_tendency: [n] directional derivative of the tendency with
+        respect to the perturbed parameter, evaluated at T_eq — i.e.
+        ``jax.jvp(lambda theta: tendency(T_eq, theta), (theta,), (dtheta,))``.
+    :param active: optional [n] bool; cells outside it are pinned to dT = 0
+        (use ONLY for genuinely decoupled levels whose Jacobian rows vanish —
+        masking weakly-coupled cells biases the coupled solution, see module
+        docstring).  None (default) solves the full system.
+    :return: [n] equilibrium shift dT* per unit of the perturbation.
+    """
+    J = jax.jacfwd(tendency_fn)(T_eq)
+    return _masked_solve(J, -d_tendency, active)
+
+
+# --------------------------------------------------------------------------
+# Grey model front-end
+# --------------------------------------------------------------------------
+
+def _grey_tendency(T_col, forcing, p_int_col):
+    # evaluate the flux via the plain associative scan (_lw_scan_eval), NOT
+    # the custom_vmap kernel dispatcher the march uses: jax.jacfwd vmaps a
+    # jvp through the custom-batching rule, which retraces recursively and
+    # hangs (measured: minutes for a 39-cell Jacobian; the plain form is
+    # milliseconds and mathematically identical — ops/two_stream.py:73-97)
+    from ..models.grey import GreyForcing  # noqa: F401  (shape contract)
+    from ..ops.two_stream import _lw_scan_eval, sw_flux
+    up_toa = (1.0 - forcing.albedo_mod) * forcing.solar_latitude_factor * \
+        forcing.F_stellar / 4.0
+    T2 = T_col[:, None]
+    up_lw, down_lw = _lw_scan_eval(
+        T2, jnp.broadcast_to(forcing.dtau, T2.shape), up_toa, reverse=True)
+    up_sw, down_sw = sw_flux(forcing.tau_sw_interface, forcing.albedo_mod,
+                             forcing.solar_latitude_factor, forcing.F_stellar)
+    net = (up_lw - down_lw + up_sw - down_sw)[:, 0]
+    return g / c_p_dry * (net[1:] - net[:-1]) / (p_int_col[1:] - p_int_col[:-1])
+
+
+def grey_equilibrium_sensitivity(world, dforcing=None, active_tau_thresh=None):
+    """Linear response dT*[nz-1, ny] of a marched grey equilibrium to a
+    forcing perturbation.
+
+    :param world: a ``GreyGas`` already marched to RADIATIVE equilibrium.
+    :param dforcing: a ``GreyForcing`` pytree of perturbation directions
+        (same shapes as ``world.forcing``); e.g. 1 W/m^2 of stellar constant:
+        ``world.forcing.replace(dtau=0*..., ..., F_stellar=1.0)``.  None
+        defaults to exactly that insolation direction.
+    :param active_tau_thresh: optional; when set, cells with |dtau_lw| below
+        it are pinned to dT = 0.  Default None solves the full system (the
+        right choice unless the world has genuinely decoupled micro-mass
+        levels — see module docstring).
+    :return: np.ndarray [nz-1, ny], kelvin per unit perturbation.
+
+    Columns (latitudes) are independent in this model, so each is solved
+    separately.
+    """
+    forcing = world.forcing
+    if dforcing is None:
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, forcing)
+        dforcing = zeros.replace(F_stellar=jnp.ones_like(forcing.F_stellar))
+    T_eq = jnp.asarray(world.state.T)
+    p_int = jnp.asarray(world.p_interface, world.dtype)
+    active = (None if active_tau_thresh is None
+              else jnp.abs(forcing.dtau) > active_tau_thresh)
+
+    def one_col(T_col, p_col, f_col, df_col, act_col):
+        tend = lambda T: _grey_tendency(T, f_col, p_col)
+        _, dF = jax.jvp(lambda f: _grey_tendency(T_col, f, p_col),
+                        (f_col,), (df_col,))
+        return equilibrium_sensitivity(tend, T_col, dF, act_col)
+
+    ny = T_eq.shape[1]
+    outs = []
+    for j in range(ny):                      # ny is small (<= ~64); host loop
+        f_col = jax.tree_util.tree_map(
+            lambda x: x[..., j:j + 1] if x.ndim == 2 else
+            (x[j:j + 1] if x.ndim == 1 else x), forcing)
+        df_col = jax.tree_util.tree_map(
+            lambda x: x[..., j:j + 1] if x.ndim == 2 else
+            (x[j:j + 1] if x.ndim == 1 else x), dforcing)
+        outs.append(one_col(T_eq[:, j], p_int[:, j], f_col, df_col,
+                            None if active is None else active[:, j]))
+    return np.asarray(jnp.stack(outs, axis=1))
+
+
+# --------------------------------------------------------------------------
+# Real-gas front-end
+# --------------------------------------------------------------------------
+
+def real_gas_equilibrium_sensitivity(gas, d_tau_interface=None, d_F_scale=0.0,
+                                     d_T_g=0.0, active_tau_thresh=None):
+    """Linear response dT*[nz-1] of a marched real-gas equilibrium to a
+    composition (optical depth), insolation, or ground-temperature change.
+
+    The perturbation enters through the march operator's actual inputs: the
+    banded interface optical depths (compute ``d_tau_interface`` as
+    ``tau(perturbed composition) - tau(composition)`` from the table
+    pipeline — the linearised GHG-ladder response without a re-march), a
+    relative insolation scale (``d_F_scale=0.01`` = +1% stellar flux), and/or
+    a ground-temperature shift ``d_T_g`` (kelvin).
+
+    :param gas: a ``RealGas`` marched to RADIATIVE equilibrium (ny=1 by
+        reference semantics, real_gas.py:634).
+    :return: np.ndarray [nz-1], kelvin per unit perturbation.
+    """
+    from ..models.real_gas import (precompute_transmission,
+                                   real_gas_net_and_diff_cached)
+    ba = gas.band_arrays
+    delta = jnp.asarray(gas.nu_bands['delta'], gas.dtype)
+    p_int = jnp.asarray(gas.p_interface[:, 0], gas.dtype)
+    T_eq = jnp.asarray(gas.state.T[:, 0])
+    tau0 = gas.tau_device
+    T_g0 = jnp.asarray(gas.T_g, gas.dtype)
+    s0 = jnp.asarray(1.0, gas.dtype)
+
+    def tend(T, tau_i, T_g, scale):
+        # rebuild the cache inside so tau enters differentiably (the march
+        # hoists it; for the Jacobian the jvp just flows through it)
+        cache = precompute_transmission(tau_i, ba, None)
+        net, net_diff = real_gas_net_and_diff_cached(
+            T, T_g, cache, ba, gas._F_star_factor * scale, delta)
+        return g / c_p_dry * net_diff[:, 0] / (p_int[1:] - p_int[:-1])
+
+    d_tau = (jnp.zeros_like(tau0) if d_tau_interface is None
+             else jnp.asarray(d_tau_interface, tau0.dtype))
+    _, dF = jax.jvp(lambda tau_i, T_g, s: tend(T_eq, tau_i, T_g, s),
+                    (tau0, T_g0, s0),
+                    (d_tau, jnp.asarray(d_T_g, gas.dtype),
+                     jnp.asarray(d_F_scale, gas.dtype)))
+    active = None
+    if active_tau_thresh is not None:
+        # active where ANY band has meaningful optical-depth increments
+        dtau_cell = jnp.abs(tau0[1:, :] - tau0[:-1, :]).max(axis=1)
+        active = dtau_cell > active_tau_thresh
+    J = jax.jacfwd(lambda T: tend(T, tau0, T_g0, s0))(T_eq)
+    return np.asarray(_masked_solve(J, -dF, active))
