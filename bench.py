@@ -51,6 +51,17 @@ def _sync(tree):
 
 
 def bench_grey(n_ensemble=4096, nz=60, max_steps=3000):
+    """The headline grey-RCE ensemble (BASELINE config #1 at ensemble scale).
+
+    converged_fraction lands at ~0.985-0.99, not 1.0: the ~1% tail is
+    high-insolation members (F >~ 1500 W/m^2) whose f32 adaptive-dt
+    controller enters a limit cycle — the 95th-percentile flux-change
+    statistic stalls at ~0.01-0.05 W/m^2 (5e-5 of the member's ~1e3 flux
+    scale, i.e. physically AT equilibrium) above the tightened exit
+    threshold, and the member exits on the legitimate t_end cap instead
+    (timed_out, base.py:322 semantics).  Root-caused on CPU: the same
+    members reproduce in f32 (2/4096) and converge cleanly in f64
+    (~600 steps) — an f32 noise-floor effect, not a controller defect."""
     from climatemodel_tpu.constants import p_surface_earth
     from climatemodel_tpu.models import ensemble
     from climatemodel_tpu.models.grey import GreyGas

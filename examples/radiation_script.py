@@ -58,6 +58,20 @@ print(f'thermosphere world: nz={grey_world.nz}, '
       f'T surface={grey_world.T[0, 0]:.1f} K '
       f'(saved grey_equilibrium.gif)')
 
+'''Equilibrium climate sensitivity WITHOUT re-marching (framework extra:
+one Jacobian + one solve at the marched equilibrium, diagnostics/sensitivity;
+the exact grey oracle dT*/dF = T*/(4F) cross-checks it in place)'''
+from climatemodel_tpu.diagnostics import sensitivity
+
+dT_dF = sensitivity.grey_equilibrium_sensitivity(grey_world)   # K per W/m^2
+T_now = np.asarray(grey_world.state.T)
+oracle = T_now / (4.0 * F_sun)
+act = np.abs(np.asarray(grey_world.forcing.dtau)) > 0.03
+print(f'insolation sensitivity: surface {dT_dF[0, 0]:.4f} K/(W/m^2) '
+      f'(exact oracle {oracle[0, 0]:.4f}; active-region max |rel err| '
+      f'{np.abs(dT_dF / oracle - 1)[act].max():.4f}; optically-thin levels '
+      f'are path-dependent and excluded, CLAUDE.md)')
+
 '''Evolution with tau: staged lw->sw ramp (radiation_script.py:54-116)'''
 from staged_tau_ramp import run_staged_tau_ramp
 

@@ -156,3 +156,27 @@ def test_real_gas_ground_temperature_sensitivity():
     sl = slice(0, 18)
     assert np.all(np.abs(fd[sl]) > 0.05)
     np.testing.assert_allclose(dT[sl], fd[sl], rtol=0.06)
+
+
+def test_grey_sensitivity_thermosphere_microlevels_full_solve():
+    """The full-system solve stays well-posed on a world WITH radiatively-
+    decoupled micro-mass levels (thermosphere tau peak, f32): active-region
+    sensitivities match the exact oracle; decoupled levels are garbage-but-
+    finite (their equilibria are path-dependent even in the reference).
+    The opt-in mask is NOT better here — measured 70% active-region error
+    at nz=598 vs the full solve's 0.2% — pinning the full-solve default."""
+    from climatemodel_tpu.constants import p_surface_earth
+    world = GreyGas(nz=150, ny=1,
+                    tau_lw_func='scale_height_and_peak_in_atmosphere',
+                    tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                    tau_sw_func='scale_height_and_peak_in_atmosphere',
+                    tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002],
+                    dtype=np.float32)
+    world.evolve_to_equilibrium(flux_thresh=1e-2, save=False)
+    dT = sens.grey_equilibrium_sensitivity(world)
+    assert np.isfinite(dT).all()
+    T = np.asarray(world.state.T)
+    F = float(np.asarray(world.forcing.F_stellar))
+    act = np.abs(np.asarray(world.forcing.dtau)) > 0.03
+    rel = np.abs(dT / (T / (4.0 * F)) - 1)
+    assert float(rel[act].max()) < 0.02
