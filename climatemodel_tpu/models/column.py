@@ -315,8 +315,10 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         (base.py:315-317) samples the exact same delta; semantics of the
         intermediate steps are identical, and the march may overshoot the
         exit point by up to K-1 steps (it stops at the first CHECK that sees
-        equilibrium / t_end / a failure — all state-based criteria, so
-        nothing is missed, only detected late).  Opt-in; default 1 preserves
+        equilibrium / t_end / a failure; the negative-T and NaN criteria are
+        accumulated stickily through the reduced steps, so even a transient
+        excursion that recovers before the check still aborts — nothing is
+        missed, only detected late).  Opt-in; default 1 preserves
         exact reference exit semantics.  Measured on v5e K=8 is the sweet
         spot: radiative single-column marches drop from ~0.20-0.21 to
         ~0.10-0.13 ms/step (nz=150/600); convective marches are
@@ -394,23 +396,35 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
         return st, net, delta
 
     def body(carry):
-        st, ft, _delta, i, _eqb, _failed, _nan, _tout = carry
+        st, ft, _delta, i, _eqb, failed0, nan0, _tout = carry
+        failed = failed0 & False      # fresh accumulators, right dtype/shape
+        nan = nan0 & False
         if check_every > 1:
+            # the failure criteria stay STICKY through the reduced steps —
+            # a transient negative-T or non-finite excursion that recovers
+            # before the next check must still abort, exactly like the
+            # per-step march (the K-chunking only defers the exit
+            # STATISTICS: percentile/equilibrium/timeout are state-based and
+            # cannot be missed, these two are history-based)
             def reduced(_, c):
-                st_r, i_r = c
-                st_r, _net, _d = step(st_r, compute_delta=False)
-                return st_r, i_r + 1
-            st, i = lax.fori_loop(0, int(check_every) - 1, reduced, (st, i))
+                st_r, i_r, f_r, n_r = c
+                st_r, net_r, _d = step(st_r, compute_delta=False)
+                f_r = f_r | (jnp.min(st_r.T) < 0)
+                n_r = n_r | ~(jnp.all(jnp.isfinite(st_r.T))
+                              & jnp.all(jnp.isfinite(net_r)))
+                return st_r, i_r + 1, f_r, n_r
+            st, i, failed, nan = lax.fori_loop(
+                0, int(check_every) - 1, reduced, (st, i, failed, nan))
         st, net, delta = step(st, compute_delta=True)
         # second iteration tightens the threshold (base.py:315-317); in
         # chunked-exit mode i==1 only occurs in the fully-checked two-step
         # prefix (evolve_to_equilibrium), which uses a check_every=1 body
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
         eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
-        failed = jnp.min(st.T) < 0
+        failed = failed | (jnp.min(st.T) < 0)
         # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
         # first non-finite temperature or flux instead of looping on garbage
-        nan = ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
+        nan = nan | ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
         timed_out = ((st.t - t0) / SECONDS_PER_YEAR > t_end) & ~eqb
         return st, ft, delta, i + 1, eqb, failed, nan, timed_out
     return body

@@ -285,8 +285,13 @@ class GreyGas:
     def take_time_step(self, t, T_initial=None, changing_tau=False,
                        convective_adjust=False, net_flux_thresh=1e-7,
                        net_flux_percentile=95, conv_thresh=1e-5,
-                       conv_t_multiplier=5):
-        """One time step (grey.py:296-344).  Returns (t, delta_net_flux)."""
+                       conv_t_multiplier=5, return_dt=False):
+        """One time step (grey.py:296-344).  Returns (t, delta_net_flux), or
+        (t, delta_net_flux, dt) with ``return_dt=True`` — riding the same
+        batched device pull, for host loops that consume the controller's dt
+        (the reference's per-step sw-tau ramp divides by time_step_info['dt'],
+        radiation_script.py:97-99; a separate eager tsi.dt read would cost an
+        extra ~25 ms tunnel round trip per step)."""
         if changing_tau:
             self.update_grid()
         if t == 0 and T_initial is not None:
@@ -298,6 +303,10 @@ class GreyGas:
             convective_adjust=convective_adjust, net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
             conv_t_multiplier=conv_t_multiplier)
+        if return_dt:
+            t_np, delta_np, dt_np = jax.device_get(
+                (self._state.t, delta, self._state.tsi.dt))
+            return float(t_np), float(delta_np), float(np.max(dt_np))
         t_np, delta_np = jax.device_get((self._state.t, delta))
         return float(t_np), float(delta_np)
 

@@ -177,6 +177,10 @@ def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
     # bf16 (see precompute_transmission's cache_dtype); this per-direction
     # evaluation is the DIAGNOSTICS path (saved animation fluxes, OLR) —
     # marches go through real_gas_net_and_diff_cached
+    # NOTE: default_backend() is a TRACE-TIME proxy for where this runs —
+    # a bf16-cache march explicitly placed on CPU inside a TPU-default
+    # process would keep the bf16 dot XLA:CPU lacks; supported placements
+    # are the process-default backend (tests force CPU via jax_platforms)
     op_dtype = (cache.M_up.dtype if jax.default_backend() == 'tpu'
                 else B_c.dtype)
     B_c_m = B_c.astype(op_dtype)
@@ -321,6 +325,7 @@ def real_gas_net_and_diff_cached(T, T_g, cache: TransmissionCache,
     diff_base = jnp.sum(w[:, 1:] - w[:, :-1], axis=0)            # [nz-1]
 
     # XLA:CPU lacks a BF16xBF16->F32 dot for these shapes — upcast off-TPU
+    # (trace-time proxy: see the same check in real_gas_fluxes_cached)
     op_dtype = (cache.D_sum.dtype if jax.default_backend() == 'tpu'
                 else B_c.dtype)
     E = jnp.einsum('bim,bm->bi', cache.D_sum.astype(op_dtype),

@@ -52,13 +52,19 @@ def _instability_tol(theta):
     the high-theta upper levels, so a fixed 1e-10 threshold sees rounding
     noise as instability and the group-blend sweep fights a no-progress
     rounding war for hundreds of outer trips (measured 61 ms/call on v5e vs
-    0.15 ms once fixed).  Scale the tolerance with the dtype epsilon and the
-    local theta magnitude; in f64 the 16*eps*theta term is ~1e-11 < 1e-10,
-    so the reference tolerance is unchanged and parity tests are unaffected.
+    0.15 ms once fixed).  In reduced precision (f32/bf16) the tolerance
+    therefore scales with the dtype epsilon and the local theta magnitude;
+    in f64 it stays EXACTLY the reference constant — at micro-mass
+    high-theta levels (theta > ~3e4, pi ~ 0.02) 16*eps_f64*theta would
+    exceed 1e-10 and silently skip marginal adjustments the executed
+    reference performs, so the eps term is applied only below f64.
     """
     eps = jnp.finfo(theta.dtype).eps
+    small = jnp.asarray(_SMALL, theta.dtype)
+    if eps < 1e-12:                              # f64: reference constant
+        return jnp.broadcast_to(small, theta.shape)
     mag = jnp.maximum(jnp.abs(theta[:-1]), jnp.abs(theta[1:]))
-    tol = jnp.maximum(jnp.asarray(_SMALL, theta.dtype), 16 * eps * mag)
+    tol = jnp.maximum(small, 16 * eps * mag)
     return jnp.concatenate([tol, tol[-1:]])
 
 

@@ -72,6 +72,7 @@ def run_staged_tau_ramp(nz='auto', ny=1, conv_adjust=False,
     T_seed = np.asarray(T_eqb).copy()
 
     steps = 0
+    dt_now = 0.0     # refreshed from each take_time_step's batched pull
     while t < t_end and steps < max_ramp_steps:
         steps += 1
         # per-step lw ramp (radiation_script.py:88-90)
@@ -87,8 +88,13 @@ def run_staged_tau_ramp(nz='auto', ny=1, conv_adjust=False,
                 t = data['t'][-1]
                 t_sw = t
             # sw ramp, rate per adaptive step like the reference
-            # (radiation_script.py:97-99 divides by the controller's dt)
-            dt_now = float(np.asarray(world.state.tsi.dt).max())
+            # (radiation_script.py:97-99 divides by the controller's dt —
+            # the PREVIOUS step's, which is what dt_now holds; it rode that
+            # step's batched pull so no extra tunnel round trip).  The
+            # max(dt, 1) guard only covers the never-stepped state right
+            # after the equilibrate (dt resets with the controller): the
+            # reference divides bare because its march always leaves a
+            # non-zero dt behind.
             tau_sw_params[2] = min(
                 tau_sw_params[2] + sw_rate * (t - t_sw) / max(dt_now, 1.0),
                 tau_sw_params_final[2])
@@ -106,8 +112,9 @@ def run_staged_tau_ramp(nz='auto', ny=1, conv_adjust=False,
                 convective_adjust=conv_adjust)
             break
         else:
-            t = world.take_time_step(t, T_seed.copy(), changing_tau=True,
-                                     convective_adjust=conv_adjust)[0]
+            t, _delta, dt_now = world.take_time_step(
+                t, T_seed.copy(), changing_tau=True,
+                convective_adjust=conv_adjust, return_dt=True)
             data = world.save_data(data, t)
 
     anim = Animate(world, data['T'], data['t'], tau_array=data['tau'],
