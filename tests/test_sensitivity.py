@@ -180,3 +180,43 @@ def test_grey_sensitivity_thermosphere_microlevels_full_solve():
     act = np.abs(np.asarray(world.forcing.dtau)) > 0.03
     rel = np.abs(dT / (T / (4.0 * F)) - 1)
     assert float(rel[act].max()) < 0.02
+
+
+def test_real_gas_composition_sensitivity():
+    """The composition direction (d tau_interface — the linearised GHG-ladder
+    response): perturb the single-line gas's surface mixing ratio by +10%,
+    compute d_tau = tau(1.1 q) - tau(q) from the actual table pipeline, and
+    check the implicit response against a finite-difference re-march of the
+    perturbed composition (trustworthy away from the surface, like the T_g
+    test above)."""
+    from climatemodel_tpu.models.real_gas import RealGas
+    from climatemodel_tpu.spectral import humidity
+
+    def make(q_scale):
+        return RealGas(nz=40, ny=1, molecule_names=['single_line'],
+                       T_g=260.0, q_funcs={'single_line': humidity.co2},
+                       q_funcs_args={'single_line': (370 * q_scale,)},
+                       delta_temp_change=0.1, dtype=np.float64)
+
+    base = make(1.0)
+    for _ in range(2):
+        base.evolve_to_equilibrium(flux_thresh=1e-4, save=False, t_end=30.0)
+    # central difference at +-8%: the FD oracle needs the signal (~1.2 K) to
+    # dominate the march exit slack (~0.1 K near-surface, less aloft) —
+    # measured per-unit-scale FD is -9.7 at d=0.02 vs -15.1/-14.3 at
+    # d=0.04/0.08 (noise does NOT cancel in small central differences of a
+    # marched equilibrium), while the implicit tangent (-14.2) matches the
+    # d=0.08 FD to 0.5-3% over the upper three quarters of the column
+    up, dn = make(1.08), make(0.92)
+    d_tau = (np.asarray(up.tau_interface)
+             - np.asarray(dn.tau_interface)) / 2.0
+    dT = sens.real_gas_equilibrium_sensitivity(base, d_tau_interface=d_tau)
+    assert np.isfinite(dT).all()
+
+    for w in (up, dn):
+        for _ in range(2):
+            w.evolve_to_equilibrium(flux_thresh=1e-4, save=False, t_end=30.0)
+    fd = (np.asarray(up.state.T) - np.asarray(dn.state.T))[:, 0] / 2.0
+    sl = slice(0, 28)
+    assert np.abs(fd[sl]).max() > 0.5      # the perturbation is substantive
+    np.testing.assert_allclose(dT[sl], fd[sl], rtol=0.05)
