@@ -243,3 +243,27 @@ def test_check_every_chunked_exit():
     assert bool(np.asarray(w4._equilibrium_info.equilibrium))
     active = w1.tau[:, 0] > 0.03
     assert np.abs(np.asarray(w1.T) - np.asarray(w4.T))[active].max() < 0.2
+
+
+def test_check_every_ensemble_path():
+    """check_every composes with the vmapped ensemble march (the per-member
+    masked while_loop): members converge to the same equilibria as the
+    per-step cadence."""
+    import jax
+    import jax.numpy as jnp
+    from climatemodel_tpu.models import ensemble
+
+    world = GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                    tau_lw_func_args=[100000, 4])
+    F = np.linspace(1100.0, 1500.0, 8)
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
+    ft = jnp.asarray(1e-3, world.dtype)
+    out1, info1 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=5000)
+    out4, info4 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=5000,
+                                                check_every=4)
+    assert bool(jnp.all(info4.equilibrium | info4.timed_out))
+    active = world.tau[:, 0] > 0.03
+    err = np.abs(np.asarray(out1.T) - np.asarray(out4.T))[:, active]
+    assert float(err.max()) < 1.0
