@@ -166,6 +166,26 @@ def update_time_step(tsi: TimeStepInfo, T_tendency_flat, allowed) -> TimeStepInf
                        dt=dt, n_same_1=n1, n_same_2=n2, removed=removed)
 
 
+def _percentile_topk(x, pct):
+    """Exact percentile via ``lax.top_k`` order statistics.
+
+    Matches ``jnp.percentile``'s default linear interpolation (same two
+    order statistics, same lerp — context-FMA ulp differences only) but only
+    selects the top ~(100-pct)% tail instead of fully sorting: the march
+    evaluates this every (checked) step on |net_flux - prev| (base.py:173),
+    and at 95 the tail is 1/20th of the array.  pct must be static."""
+    x = x.reshape(-1)
+    n = x.shape[0]
+    q = (n - 1) * float(pct) / 100.0
+    k0 = int(np.floor(q))
+    frac = q - k0
+    m = n - k0
+    top = lax.top_k(x, m)[0]
+    if frac == 0.0 or m < 2:
+        return top[m - 1]
+    return top[m - 1] * (1 - frac) + top[m - 2] * frac
+
+
 # --------------------------------------------------------------------------
 # Temperature update (base.py:130-195)
 # --------------------------------------------------------------------------
@@ -220,8 +240,8 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
     if compute_delta:
         delta_net_flux = jnp.where(
             first_or_forced, jnp.asarray(1e6, T.dtype),
-            jnp.percentile(jnp.abs(net_flux - state.net_flux),
-                           net_flux_percentile).astype(T.dtype))
+            _percentile_topk(jnp.abs(net_flux - state.net_flux),
+                             net_flux_percentile).astype(T.dtype))
 
     any_allowed = jnp.any(allowed)
     tsi_new = update_time_step(tsi, tend_flat, allowed)

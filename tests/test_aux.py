@@ -408,3 +408,22 @@ def test_cli_scenario_registry_complete():
     for name in SHALLOW_SCENARIOS:
         kw, run = shallow_scenario(name)
         assert 'initial_info' in kw and run['n_days'] > 0
+
+
+def test_percentile_topk_matches_jnp_percentile():
+    """The march's top_k order-statistics percentile (column._percentile_topk)
+    reproduces jnp.percentile's linear interpolation across sizes, percentile
+    values, dtypes, and duplicate-heavy data."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.models.column import _percentile_topk
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 3, 20, 59, 64 * 59, 381):
+        for pct in (95, 50, 90, 100, 0):
+            for dt in (np.float64, np.float32):
+                x = rng.normal(size=n).astype(dt)
+                if n > 10:
+                    x[:: 3] = x[0]            # duplicates
+                got = float(_percentile_topk(jnp.asarray(x), pct))
+                want = float(jnp.percentile(jnp.asarray(x), pct))
+                assert got == pytest.approx(want, rel=1e-6, abs=1e-12), \
+                    (n, pct, dt)
