@@ -267,3 +267,21 @@ def test_check_every_ensemble_path():
     active = world.tau[:, 0] > 0.03
     err = np.abs(np.asarray(out1.T) - np.asarray(out4.T))[:, active]
     assert float(err.max()) < 1.0
+
+
+def test_check_every_with_chunked_device_calls():
+    """check_every composes with chunk_steps (the watchdog-bounded multi-call
+    march): chunk re-entry passes i0 >= 2 so the fully-checked prefix no-ops,
+    and the march still reaches the per-step endpoint."""
+    def make():
+        return GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                       tau_lw_func_args=[100000, 4])
+    w_ref, w_chunk = make(), make()
+    w_ref.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    w_chunk.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                  chunk_steps=25, check_every=4)
+    info = w_chunk._equilibrium_info
+    assert bool(np.asarray(info.equilibrium))
+    active = w_ref.tau[:, 0] > 0.03
+    err = np.abs(np.asarray(w_ref.T) - np.asarray(w_chunk.T))[active]
+    assert float(err.max()) < 1.0
