@@ -83,18 +83,15 @@ def equilibrium_sensitivity(tendency_fn, T_eq, d_tendency, active=None):
 # --------------------------------------------------------------------------
 
 def _grey_tendency(T_col, forcing, p_int_col):
-    # evaluate the flux via the plain associative scan (_lw_scan_eval), NOT
-    # the custom_vmap kernel dispatcher the march uses: jax.jacfwd vmaps a
-    # jvp through the custom-batching rule, which retraces recursively and
-    # hangs (measured: minutes for a 39-cell Jacobian; the plain form is
-    # milliseconds and mathematically identical — ops/two_stream.py:73-97)
-    from ..models.grey import GreyForcing  # noqa: F401  (shape contract)
-    from ..ops.two_stream import _lw_scan_eval, sw_flux
+    # evaluate the flux via lw_flux_plain (the differentiable associative
+    # scan), NOT the custom_vmap kernel dispatcher the march uses: jacfwd
+    # vmaps a jvp through the custom-batching rule, which retraces
+    # recursively and hangs (see ops/two_stream.py lw_flux docstring)
+    from ..ops.two_stream import lw_flux_plain, sw_flux
     up_toa = (1.0 - forcing.albedo_mod) * forcing.solar_latitude_factor * \
         forcing.F_stellar / 4.0
-    T2 = T_col[:, None]
-    up_lw, down_lw = _lw_scan_eval(
-        T2, jnp.broadcast_to(forcing.dtau, T2.shape), up_toa, reverse=True)
+    up_lw, down_lw = lw_flux_plain(T_col[:, None], forcing.dtau, up_toa,
+                                   surface_first=True)
     up_sw, down_sw = sw_flux(forcing.tau_sw_interface, forcing.albedo_mod,
                              forcing.solar_latitude_factor, forcing.F_stellar)
     net = (up_lw - down_lw + up_sw - down_sw)[:, 0]

@@ -95,8 +95,31 @@ def _lw_core_vmap_rule(axis_size, in_batched, T, dtau, up_toa):
     return (unflat(up), unflat(down)), (True, True)
 
 
+def lw_flux_plain(T, dtau, up_flux_toa, surface_first=True):
+    """Differentiable associative-scan evaluation of :func:`lw_flux` —
+    bypasses the ``custom_vmap`` kernel dispatcher, whose batching rule
+    retraces pathologically under ``jax.jacfwd``'s vmapped jvp (hangs for
+    minutes on a 39-cell Jacobian; diagnostics/sensitivity.py uses this
+    path).  Same semantics and shapes as :func:`lw_flux`."""
+    batch_shape = T.shape[1:]
+    dtau_f = jnp.asarray(dtau)
+    while dtau_f.ndim < T.ndim:
+        dtau_f = dtau_f[..., None]
+    nlev = T.shape[0]
+    Tf = T.reshape(nlev, -1)
+    dtauf = jnp.broadcast_to(dtau_f, T.shape).reshape(nlev, -1)
+    toaf = jnp.broadcast_to(up_flux_toa, batch_shape).astype(T.dtype)
+    up, down = _lw_scan_eval(Tf, dtauf, toaf.reshape(-1),
+                             reverse=surface_first)
+    return (up.reshape((nlev + 1,) + batch_shape),
+            down.reshape((nlev + 1,) + batch_shape))
+
+
 def lw_flux(T, dtau, up_flux_toa, surface_first=True):
     """Grey long-wave up/down fluxes at interfaces from cell temperatures.
+
+    For gradient/Jacobian evaluation use :func:`lw_flux_plain` — the batched
+    kernel dispatcher below does not compose with ``jax.jacfwd``.
 
     :param T: [nz-1, ...] cell temperatures.
     :param dtau: [nz-1, ...] |optical depth difference| across each cell.

@@ -123,3 +123,24 @@ def test_pallas_lw_kernel_shape_fuzz():
         us, ds = lw_flux_sequential(T, dtau, toa)
         uk, dk = lw_flux_lanes(T, dtau, toa, interpret=True)
         assert bool(jnp.all(us == uk) & jnp.all(ds == dk)), (n, b)
+
+
+def test_lw_flux_plain_matches_dispatcher_and_differentiates():
+    """lw_flux_plain equals lw_flux (same scan on CPU) and composes with
+    jax.jacfwd — the property the custom_vmap dispatcher lacks."""
+    import jax
+    import jax.numpy as jnp
+    from climatemodel_tpu.ops.two_stream import lw_flux, lw_flux_plain
+    rng = np.random.default_rng(3)
+    T = jnp.asarray(230 + 60 * rng.random((19, 2)))
+    dtau = jnp.asarray(0.2 * rng.random((19, 2)))
+    toa = jnp.asarray(200 + 10 * rng.random((2,)))
+    for sf in (True, False):
+        if sf:
+            a = lw_flux(T, dtau, toa, surface_first=sf)
+            b = lw_flux_plain(T, dtau, toa, surface_first=sf)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        J = jax.jacfwd(lambda t: lw_flux_plain(t, dtau, toa,
+                                               surface_first=sf)[0])(T)
+        assert np.isfinite(np.asarray(J)).all()
