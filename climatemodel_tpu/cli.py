@@ -190,11 +190,19 @@ def _cmd_grey(args):
                                 verbose=args.verbose,
                                 check_every=args.check_every)
     info = world._equilibrium_info
-    print(json.dumps({'world': args.world, 'nz': world.nz, 'ny': args.ny,
-                      'steps': int(info.steps),
-                      'T_surface': float(world.T[0].max()),
-                      'max_net_flux': float(abs(world.net_flux).max()),
-                      'model_days': float(world.state.t) / 86400.0}))
+    out = {'world': args.world, 'nz': world.nz, 'ny': args.ny,
+           'steps': int(info.steps),
+           'T_surface': float(world.T[0].max()),
+           'max_net_flux': float(abs(world.net_flux).max()),
+           'model_days': float(world.state.t) / 86400.0}
+    if args.sensitivity:
+        if args.convective:
+            raise SystemExit('--sensitivity is valid for RADIATIVE equilibria '
+                             'only (diagnostics/sensitivity.py docstring)')
+        from .diagnostics import sensitivity as _sens
+        dT = _sens.grey_equilibrium_sensitivity(world)
+        out['dT_surface_dF_stellar'] = float(dT[0].max())
+    print(json.dumps(out))
     if args.plot:
         import matplotlib
         matplotlib.use('Agg')
@@ -358,6 +366,10 @@ def main(argv=None):
     p.add_argument('--ny', type=int, default=1)
     p.add_argument('--flux-thresh', type=float, default=1e-3)
     p.add_argument('--convective', action='store_true')
+    p.add_argument('--sensitivity', action='store_true',
+                   help='report dT_surface/dF_stellar at the marched '
+                        'radiative equilibrium (implicit differentiation, '
+                        'no re-march)')
     p.add_argument('--check-every', type=int, default=1,
                    help='evaluate the march exit criteria every N steps '
                         '(chunked exit; 1 = reference per-step cadence)')
