@@ -145,6 +145,86 @@ def grey_equilibrium_sensitivity(world, dforcing=None, active_tau_thresh=None):
     return np.asarray(jnp.stack(outs, axis=1))
 
 
+def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
+    """Linear response of a RADIATIVE-CONVECTIVE equilibrium (framework
+    extra: the textbook climate-sensitivity quantity, with convection).
+
+    At RCE the convective layer sits at marginal neutrality — potential
+    temperature theta = T/(p/p_ref)^alpha is CONSTANT across each
+    convectively-mixed pool (the adjustment operator is the identity at the
+    fixed point; the level-wise radiative imbalance inside the pool is the
+    implied convective flux).  Under a forcing perturbation the pool must
+    (a) stay on the adiabat — its temperatures move together as
+    dT_i = dtheta_pool * pi_i — and (b) keep zero net enthalpy drift —
+    sum_i w_i f_i = 0 over the pool (w = the adjustment's trapz enthalpy
+    weights; the adjustment redistributes but conserves enthalpy).  Free
+    cells are singleton pools, for which (b) reduces to the radiative
+    balance f_i = 0.  That collapses the IFT system to one unknown per pool:
+
+        (W J R) x = -(W dF),   dT = R x
+
+    with R[i, b] = pi_i on pool b's cells and W the pool-wise w-weighted
+    row sum.  Pools are detected from the marched endpoint by theta
+    flatness (relative ``pool_tol``); validity assumes the perturbation
+    does not change the pool structure (generic case; a pool on the verge
+    of splitting/merging is a genuine non-smoothness of RCE itself).
+
+    The exact grey oracle survives convection: the adjustment is
+    scale-equivariant in T (pooling depends only on theta ORDER, enthalpy
+    conservation is linear), so the RCE still maps F -> (1+eps)F onto
+    T -> (1+eps)^(1/4) T and dT*/dF = T*/(4F) at every level
+    (tests/test_sensitivity.py pins this on the thermosphere world).
+
+    :param world: a ``GreyGas`` marched with ``convective_adjust=True``.
+    :return: np.ndarray [nz-1, ny], kelvin per unit perturbation.
+    """
+    from ..constants import R_specific, c_p_dry as cpd, p_surface_earth
+    from ..ops.convection import _trapz_weights
+
+    forcing = world.forcing
+    if dforcing is None:
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, forcing)
+        dforcing = zeros.replace(F_stellar=jnp.ones_like(forcing.F_stellar))
+    T_eq = jnp.asarray(world.state.T)
+    p_int = jnp.asarray(world.p_interface, world.dtype)
+    p_c = jnp.asarray(world.p[:, 0], world.dtype)      # descending, sfc first
+    alpha = R_specific / cpd
+    pi = (p_c / p_surface_earth) ** alpha
+    w = _trapz_weights(p_c)
+
+    def one_col(T_col, p_col, f_col, df_col):
+        theta = np.asarray(T_col) / np.asarray(pi)
+        rel = np.abs(np.diff(theta)) / np.maximum(np.abs(theta[:-1]),
+                                                  np.abs(theta[1:]))
+        same = rel < pool_tol
+        pool_id = np.concatenate([[0], np.cumsum(~same)])
+        m = int(pool_id[-1]) + 1
+        n = T_col.shape[0]
+        R = np.zeros((n, m))
+        R[np.arange(n), pool_id] = np.asarray(pi)
+        W = np.zeros((m, n))
+        W[pool_id, np.arange(n)] = np.asarray(w)
+        Rj = jnp.asarray(R, T_col.dtype)
+        Wj = jnp.asarray(W, T_col.dtype)
+        J = jax.jacfwd(lambda T: _grey_tendency(T, f_col, p_col))(T_col)
+        _, dF = jax.jvp(lambda f: _grey_tendency(T_col, f, p_col),
+                        (f_col,), (df_col,))
+        x = jnp.linalg.solve(Wj @ J @ Rj, -(Wj @ dF))
+        return Rj @ x
+
+    ny = T_eq.shape[1]
+    outs = []
+    for j in range(ny):
+        f_col = jax.tree_util.tree_map(
+            lambda x: x[..., j:j + 1] if x.ndim == 2 else
+            (x[j:j + 1] if x.ndim == 1 else x), forcing)
+        df_col = jax.tree_util.tree_map(
+            lambda x: x[..., j:j + 1] if x.ndim == 2 else
+            (x[j:j + 1] if x.ndim == 1 else x), dforcing)
+        outs.append(one_col(T_eq[:, j], p_int[:, j], f_col, df_col))
+    return np.asarray(jnp.stack(outs, axis=1))
+
+
 # --------------------------------------------------------------------------
 # Real-gas front-end
 # --------------------------------------------------------------------------

@@ -220,3 +220,43 @@ def test_real_gas_composition_sensitivity():
     sl = slice(0, 28)
     assert np.abs(fd[sl]).max() > 0.5      # the perturbation is substantive
     np.testing.assert_allclose(dT[sl], fd[sl], rtol=0.05)
+
+
+def test_grey_rce_sensitivity_analytic_oracle():
+    """Radiative-CONVECTIVE equilibrium sensitivity: the adjustment is
+    scale-equivariant in T, so the exact dT*/dF = T*/(4F) oracle survives
+    convection.  The pooled (one-unknown-per-convective-pool) solve hits it
+    to 0.1% on the isotonic endpoint; the faithful-method endpoint is looser
+    (delta-exit slack, ragged pool edges) at ~5%.  The pure-radiative solver
+    applied to the same RCE endpoint is the negative control — inside the
+    convective layer the radiative-balance assumption is simply false."""
+    from climatemodel_tpu.constants import p_surface_earth
+
+    def rce(method):
+        w = GreyGas(nz=150, ny=1,
+                    tau_lw_func='scale_height_and_peak_in_atmosphere',
+                    tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                    tau_sw_func='scale_height_and_peak_in_atmosphere',
+                    tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002],
+                    dtype=np.float32)
+        for _ in range(2):
+            w.evolve_to_equilibrium(flux_thresh=1e-2, save=False,
+                                    convective_adjust=True,
+                                    conv_method=method)
+        return w
+
+    for method, bound in (('isotonic', 0.01), ('reference', 0.08)):
+        w = rce(method)
+        dT = sens.grey_rce_equilibrium_sensitivity(w)
+        T = np.asarray(w.state.T)
+        F = float(np.asarray(w.forcing.F_stellar))
+        act = np.abs(np.asarray(w.forcing.dtau)) > 0.03
+        rel = np.abs(dT / (T / (4.0 * F)) - 1)
+        assert float(rel[act].max()) < bound, (method, float(rel[act].max()))
+        if method == 'isotonic':
+            # the world is genuinely convective: the pooled solve must have
+            # found at least one multi-cell adiabatic pool, and ignoring it
+            # (pure-radiative IFT) must be measurably WORSE
+            dT_rad = sens.grey_equilibrium_sensitivity(w)
+            rel_rad = np.abs(dT_rad / (T / (4.0 * F)) - 1)
+            assert float(rel_rad[act].max()) > 2 * float(rel[act].max())
