@@ -145,6 +145,30 @@ def grey_equilibrium_sensitivity(world, dforcing=None, active_tau_thresh=None):
     return np.asarray(jnp.stack(outs, axis=1))
 
 
+def _pooled_rce_solve(T_col, pi, w, J, dF, pool_tol):
+    """Solve the pooled marginal-neutrality system (see
+    grey_rce_equilibrium_sensitivity): pools from theta flatness of the
+    endpoint, dT = R x with R the per-pool adiabat shapes, equations = the
+    pool-wise w-weighted enthalpy balance of the perturbed tendency.
+    Orientation-agnostic: T_col/pi/w and J/dF just have to share an index
+    order."""
+    theta = np.asarray(T_col) / np.asarray(pi)
+    rel = np.abs(np.diff(theta)) / np.maximum(np.abs(theta[:-1]),
+                                              np.abs(theta[1:]))
+    same = rel < pool_tol
+    pool_id = np.concatenate([[0], np.cumsum(~same)])
+    m = int(pool_id[-1]) + 1
+    n = T_col.shape[0]
+    R = np.zeros((n, m))
+    R[np.arange(n), pool_id] = np.asarray(pi)
+    W = np.zeros((m, n))
+    W[pool_id, np.arange(n)] = np.asarray(w)
+    Rj = jnp.asarray(R, T_col.dtype)
+    Wj = jnp.asarray(W, T_col.dtype)
+    x = jnp.linalg.solve(Wj @ J @ Rj, -(Wj @ dF))
+    return Rj @ x
+
+
 def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
     """Linear response of a RADIATIVE-CONVECTIVE equilibrium (framework
     extra: the textbook climate-sensitivity quantity, with convection).
@@ -193,24 +217,10 @@ def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
     w = _trapz_weights(p_c)
 
     def one_col(T_col, p_col, f_col, df_col):
-        theta = np.asarray(T_col) / np.asarray(pi)
-        rel = np.abs(np.diff(theta)) / np.maximum(np.abs(theta[:-1]),
-                                                  np.abs(theta[1:]))
-        same = rel < pool_tol
-        pool_id = np.concatenate([[0], np.cumsum(~same)])
-        m = int(pool_id[-1]) + 1
-        n = T_col.shape[0]
-        R = np.zeros((n, m))
-        R[np.arange(n), pool_id] = np.asarray(pi)
-        W = np.zeros((m, n))
-        W[pool_id, np.arange(n)] = np.asarray(w)
-        Rj = jnp.asarray(R, T_col.dtype)
-        Wj = jnp.asarray(W, T_col.dtype)
         J = jax.jacfwd(lambda T: _grey_tendency(T, f_col, p_col))(T_col)
         _, dF = jax.jvp(lambda f: _grey_tendency(T_col, f, p_col),
                         (f_col,), (df_col,))
-        x = jnp.linalg.solve(Wj @ J @ Rj, -(Wj @ dF))
-        return Rj @ x
+        return _pooled_rce_solve(T_col, pi, w, J, dF, pool_tol)
 
     ny = T_eq.shape[1]
     outs = []
@@ -229,22 +239,9 @@ def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
 # Real-gas front-end
 # --------------------------------------------------------------------------
 
-def real_gas_equilibrium_sensitivity(gas, d_tau_interface=None, d_F_scale=0.0,
-                                     d_T_g=0.0, active_tau_thresh=None):
-    """Linear response dT*[nz-1] of a marched real-gas equilibrium to a
-    composition (optical depth), insolation, or ground-temperature change.
-
-    The perturbation enters through the march operator's actual inputs: the
-    banded interface optical depths (compute ``d_tau_interface`` as
-    ``tau(perturbed composition) - tau(composition)`` from the table
-    pipeline — the linearised GHG-ladder response without a re-march), a
-    relative insolation scale (``d_F_scale=0.01`` = +1% stellar flux), and/or
-    a ground-temperature shift ``d_T_g`` (kelvin).
-
-    :param gas: a ``RealGas`` marched to RADIATIVE equilibrium (ny=1 by
-        reference semantics, real_gas.py:634).
-    :return: np.ndarray [nz-1], kelvin per unit perturbation.
-    """
+def _real_gas_J_dF(gas, d_tau_interface, d_F_scale, d_T_g):
+    """(T_eq, J, dF) of the real-gas heating tendency at the marched
+    endpoint, with the perturbation direction folded into dF."""
     from ..models.real_gas import (precompute_transmission,
                                    real_gas_net_and_diff_cached)
     ba = gas.band_arrays
@@ -269,10 +266,55 @@ def real_gas_equilibrium_sensitivity(gas, d_tau_interface=None, d_F_scale=0.0,
                     (tau0, T_g0, s0),
                     (d_tau, jnp.asarray(d_T_g, gas.dtype),
                      jnp.asarray(d_F_scale, gas.dtype)))
+    J = jax.jacfwd(lambda T: tend(T, tau0, T_g0, s0))(T_eq)
+    return T_eq, J, dF
+
+
+def real_gas_equilibrium_sensitivity(gas, d_tau_interface=None, d_F_scale=0.0,
+                                     d_T_g=0.0, active_tau_thresh=None):
+    """Linear response dT*[nz-1] of a marched real-gas equilibrium to a
+    composition (optical depth), insolation, or ground-temperature change.
+
+    The perturbation enters through the march operator's actual inputs: the
+    banded interface optical depths (compute ``d_tau_interface`` as
+    ``tau(perturbed composition) - tau(composition)`` from the table
+    pipeline — the linearised GHG-ladder response without a re-march), a
+    relative insolation scale (``d_F_scale=0.01`` = +1% stellar flux), and/or
+    a ground-temperature shift ``d_T_g`` (kelvin).
+
+    :param gas: a ``RealGas`` marched to RADIATIVE equilibrium (ny=1 by
+        reference semantics, real_gas.py:634); for a convectively-adjusted
+        march use :func:`real_gas_rce_equilibrium_sensitivity`.
+    :return: np.ndarray [nz-1], kelvin per unit perturbation.
+    """
+    T_eq, J, dF = _real_gas_J_dF(gas, d_tau_interface, d_F_scale, d_T_g)
     active = None
     if active_tau_thresh is not None:
+        tau0 = gas.tau_device
         # active where ANY band has meaningful optical-depth increments
         dtau_cell = jnp.abs(tau0[1:, :] - tau0[:-1, :]).max(axis=1)
         active = dtau_cell > active_tau_thresh
-    J = jax.jacfwd(lambda T: tend(T, tau0, T_g0, s0))(T_eq)
     return np.asarray(_masked_solve(J, -dF, active))
+
+
+def real_gas_rce_equilibrium_sensitivity(gas, d_tau_interface=None,
+                                         d_F_scale=0.0, d_T_g=0.0,
+                                         pool_tol=1e-4):
+    """Linear response of a real-gas RADIATIVE-CONVECTIVE equilibrium —
+    the pooled marginal-neutrality solve of
+    :func:`grey_rce_equilibrium_sensitivity` with the real-gas band operator
+    (same perturbation directions as
+    :func:`real_gas_equilibrium_sensitivity`).  On an endpoint with no
+    convective pools this reduces exactly to the radiative full solve
+    (every cell a singleton pool)."""
+    from ..constants import R_specific, c_p_dry as cpd, p_surface_earth
+    from ..ops.convection import _trapz_weights
+
+    T_eq, J, dF = _real_gas_J_dF(gas, d_tau_interface, d_F_scale, d_T_g)
+    p_c = jnp.asarray(gas.p[:, 0], gas.dtype)       # TOA-first, ascending
+    alpha = R_specific / cpd
+    pi = (p_c / p_surface_earth) ** alpha
+    # the adjustment's enthalpy weights are defined on descending p; flip in
+    # and out so the weights stay positive in this module's TOA-first order
+    w = jnp.flip(_trapz_weights(jnp.flip(p_c)))
+    return np.asarray(_pooled_rce_solve(T_eq, pi, w, J, dF, pool_tol))

@@ -260,3 +260,41 @@ def test_grey_rce_sensitivity_analytic_oracle():
             dT_rad = sens.grey_equilibrium_sensitivity(w)
             rel_rad = np.abs(dT_rad / (T / (4.0 * F)) - 1)
             assert float(rel_rad[act].max()) > 2 * float(rel[act].max())
+
+
+def test_real_gas_rce_sensitivity():
+    """Real-gas RCE sensitivity: on a convectively-adjusted endpoint the
+    pooled solve finds the adiabatic pools and produces a smooth warming
+    response to +1% insolation; on a purely radiative endpoint (no pools)
+    it reduces exactly to the radiative full solve."""
+    base = _make_real_gas(260.0)
+    for _ in range(2):
+        base.evolve_to_equilibrium(flux_thresh=1e-4, save=False, t_end=30.0)
+    # no pools at a radiative endpoint -> identical to the radiative solve
+    rad = sens.real_gas_equilibrium_sensitivity(base, d_F_scale=0.01)
+    rce = sens.real_gas_rce_equilibrium_sensitivity(base, d_F_scale=0.01)
+    np.testing.assert_allclose(rce, rad, rtol=1e-10)
+
+    # T_g=330 is the coolest single-line ground that actually pools cells
+    # at RCE (260/300 K endpoints are convectively stable already)
+    conv = _make_real_gas(330.0)
+    for _ in range(2):
+        conv.evolve_to_equilibrium(flux_thresh=1e-4, save=False, t_end=30.0,
+                                   convective_adjust=True)
+    dT = sens.real_gas_rce_equilibrium_sensitivity(conv, d_F_scale=0.01)
+    assert np.isfinite(dT).all()
+    assert np.all(dT > 0)                    # more sun, warmer everywhere
+    # the convective march genuinely pooled some cells (theta-flat runs)
+    from climatemodel_tpu.constants import R_specific, c_p_dry, \
+        p_surface_earth
+    theta = (np.asarray(conv.state.T)[:, 0]
+             / (np.asarray(conv.p[:, 0]) / p_surface_earth)
+             ** (R_specific / c_p_dry))
+    rel = np.abs(np.diff(theta)) / theta[:-1]
+    assert (rel < 1e-4).sum() >= 1
+    # pooled cells move together on the adiabat: dtheta is constant within
+    # a pool
+    dtheta = dT / (np.asarray(conv.p[:, 0]) / p_surface_earth) \
+        ** (R_specific / c_p_dry)
+    pooled = rel < 1e-4
+    np.testing.assert_allclose(np.diff(dtheta)[pooled], 0.0, atol=1e-10)
