@@ -213,3 +213,36 @@ def test_changing_tau_scenario_parity():
     np.testing.assert_allclose(mine.T, ref.T, atol=1e-6)
     np.testing.assert_allclose(mine.tau_interface, ref.tau_interface,
                                atol=1e-10)
+
+
+def test_convective_adjustment_parity_high_theta_marginal():
+    """f64 tolerance parity in the micro-mass high-theta regime: at p ~ 1 Pa
+    potential temperatures reach ~1e4-1e5, where a magnitude-scaled epsilon
+    tolerance (the f32 rounding-war fix) would exceed the reference's fixed
+    1e-10 and silently skip marginal adjustments the executed reference
+    performs — ops/convection.py therefore keeps the exact reference constant
+    in f64.  This pins it: theta-diffs of -3e-10 (between the two thresholds)
+    at theta ~ 3e4 must be adjusted exactly like the reference adjusts them.
+    """
+    import jax.numpy as jnp
+    from climatemodel_tpu.constants import R_specific, c_p_dry
+    from climatemodel_tpu.ops.convection import convective_adjustment
+    ref_conv = rh.import_reference_convection()
+    nz = 30
+    p = np.logspace(np.log10(p_surface_earth), np.log10(1.0), nz)
+    pi = (p / p_surface_earth) ** (R_specific / c_p_dry)
+    # stable rising theta, with three marginally-unstable pairs high up
+    # (theta ~ 3e4) whose diffs sit between -1e-10 (reference threshold)
+    # and -16*eps_f64*theta (~ -1.1e-10, the f32-style scaled tolerance);
+    # the topmost pair stays strongly stable (the raw reference IndexErrors
+    # otherwise, documented quirk)
+    theta = np.linspace(280.0, 3.2e4, nz)
+    for i in (20, 22, 24):
+        theta[i + 1] = theta[i] - 3e-10
+    theta[-1] = theta[-2] * 1.5
+    T = theta * pi
+    ref_out = ref_conv.convective_adjustment(p.copy(), T.copy()[:, None])[:, 0]
+    assert np.abs(ref_out - T).max() > 0    # the reference DID adjust
+    my_out = np.asarray(convective_adjustment(jnp.asarray(p),
+                                              jnp.asarray(T)))
+    np.testing.assert_allclose(my_out, ref_out, rtol=0, atol=1e-8)
