@@ -427,3 +427,44 @@ def test_percentile_topk_matches_jnp_percentile():
                 want = float(jnp.percentile(jnp.asarray(x), pct))
                 assert got == pytest.approx(want, rel=1e-6, abs=1e-12), \
                     (n, pct, dt)
+
+
+def test_check_every_sticky_negative_T_abort():
+    """A transient negative-T excursion during the REDUCED steps of a
+    check_every chunk must still set the failed flag, even when the
+    temperature has recovered by the time the chunk's full check runs
+    (column._march_body accumulates the abort criteria stickily)."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.constants import g, c_p_dry
+    from climatemodel_tpu.models import column
+
+    # one cell between two interfaces; net_fn engineered so the adaptive
+    # controller (delta_t = 1 K per step) walks T down 2.5 -> 1.5 -> 0.5 ->
+    # -0.5 and then oscillates +-0.5: the dip happens at step 2 (the first
+    # REDUCED step after the fully-checked two-step prefix) and the chunk's
+    # full check at i=10 sees T = +0.5 again
+    p_int = jnp.asarray([[2.0], [1.0]])
+    dp = float(p_int[1, 0] - p_int[0, 0])
+
+    def net_fn(T):
+        f = 3e-4 * (0.2 - T[0, 0])            # target tendency (K/s)
+        x1 = 1.0 + dp * c_p_dry / g * f
+        return jnp.stack([jnp.full((1,), 1.0), jnp.full((1,), x1)])
+
+    def run(check_every):
+        state = column.ColumnState(
+            T=jnp.full((1, 1), 2.5), net_flux=jnp.zeros((2, 1)),
+            t=jnp.asarray(0.0),
+            tsi=column.init_time_step_info(1, temp_change=1.0,
+                                           dtype=jnp.float64))
+        return column.evolve_to_equilibrium(
+            state, net_fn, p_int, jnp.asarray([1.5]), flux_thresh=1e-12,
+            t_end=1e12, max_steps=10, check_every=check_every)
+
+    st8, info8 = run(8)
+    assert float(st8.T[0, 0]) > 0             # recovered by the check...
+    assert bool(info8.failed)                  # ...but the dip still aborts
+    # the per-step march flags it at the dip itself
+    st1, info1 = run(1)
+    assert bool(info1.failed)
+    assert float(st1.T[0, 0]) < 0
