@@ -168,6 +168,19 @@ class GreyGas:
         self.p = grids.cell_centre_pressure(self.p_interface)
         self._refresh_tau_grids()
 
+        # albedo_mod is FROZEN at construction when an sw absorber is present
+        # (reference semantics, grey.py:91-96: set once in __init__ and never
+        # recomputed by update_grid — later tau_sw mutations do NOT refresh
+        # it; load-bearing for the staged time-varying-tau experiment, whose
+        # world is built at full sw strength and keeps that albedo_mod while
+        # the strength ramps 0 -> 1.2 -> 0).  Without an absorber the
+        # reference ALIASES albedo_mod to the albedo array, so in-place
+        # albedo mutations propagate (the ice-albedo ramp path) — our
+        # property mirrors that by returning self.albedo live.
+        self._albedo_mod_frozen = (
+            None if self.sw_tau_is_zero
+            else self.albedo * np.exp(-2 * self.tau_sw_interface[0]))
+
         # initial condition: isothermal energy balance (grey.py:98-105)
         T = np.ones((self.nz - 1, self.ny)) * self.T0
         up_lw = np.ones((self.nz, self.ny)) * self.F_sw0
@@ -225,10 +238,14 @@ class GreyGas:
     @property
     def albedo_mod(self):
         """Albedo corrected for the missing exp(tau_sw_surface) term
-        (grey.py:91-94); recomputed live so albedo/tau sweeps propagate."""
-        if self.sw_tau_is_zero:
-            return self.albedo
-        return self.albedo * np.exp(-2 * self.tau_sw_interface[0])
+        (grey.py:91-96).  Reference parity: FROZEN at the construction-time
+        tau_sw when an sw absorber exists (update_grid never refreshes it —
+        see __init__); aliased to the live ``albedo`` otherwise, so the
+        ice-albedo harness's in-place albedo mutations propagate exactly
+        like the reference's numpy aliasing."""
+        if self._albedo_mod_frozen is not None:
+            return self._albedo_mod_frozen
+        return self.albedo
 
     @property
     def F_sw0(self):

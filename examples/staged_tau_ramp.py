@@ -29,7 +29,7 @@ def run_staged_tau_ramp(nz='auto', ny=1, conv_adjust=False,
                         sw_final=1.2, sw_rate=1e-4,
                         t_end_years=10.0, delta_net_flux_thresh=1e-3,
                         max_ramp_steps=100_000, out_dir=None,
-                        n_plot_frames=80, save_gif=True):
+                        n_plot_frames=80, save_gif=True, dtype=None):
     """Run the staged lw->sw ramp experiment; returns (world, data_dict).
 
     Parameters mirror the reference's hard-coded values
@@ -50,7 +50,7 @@ def run_staged_tau_ramp(nz='auto', ny=1, conv_adjust=False,
     world = GreyGas(nz=nz, ny=ny, tau_lw_func='exponential',
                     tau_lw_func_args=list(tau_params_final),
                     tau_sw_func='peak_in_atmosphere',
-                    tau_sw_func_args=list(tau_sw_params_final))
+                    tau_sw_func_args=list(tau_sw_params_final), dtype=dtype)
     world.tau_lw_func_args = tuple(tau_params)
     world.tau_sw_func_args = tuple(tau_sw_params)
     world.update_grid()

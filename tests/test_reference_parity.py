@@ -246,3 +246,43 @@ def test_convective_adjustment_parity_high_theta_marginal():
     my_out = np.asarray(convective_adjustment(jnp.asarray(p),
                                               jnp.asarray(T)))
     np.testing.assert_allclose(my_out, ref_out, rtol=0, atol=1e-8)
+
+
+def test_albedo_mod_frozen_at_construction_like_reference():
+    """albedo_mod semantics under tau_sw mutation (grey.py:91-96): the
+    reference sets it ONCE in __init__ and update_grid never refreshes it —
+    zeroing the sw absorber must NOT bounce albedo_mod back to the raw
+    albedo.  This staleness is load-bearing: with a live recompute the
+    staged time-varying-tau experiment's final equilibrate after the sw
+    drop sees a (1-albedo_mod) TOA boundary swing amplified by e^tau_lw ~
+    400 at the surface and marches it below zero (reproduced), while the
+    executed reference relaxes to T in [232.7, 374.8].  With the frozen
+    value our endpoint matches the reference to 1e-10 (verified at nz=80).
+    Also pins the alias case: with no absorber, in-place albedo mutations
+    propagate (the reference's numpy aliasing, ice-albedo ramps)."""
+    import jax.numpy as jnp
+    ref_grey, ref_od = rh.import_reference_grey()
+    rw = ref_grey.GreyGas(nz=30, ny=1,
+                          tau_lw_func=ref_od.exponential,
+                          tau_lw_func_args=[100000.0, 6.0],
+                          tau_sw_func=ref_od.peak_in_atmosphere,
+                          tau_sw_func_args=[300000.0, 2000.0, 1.2])
+    w = GreyGas(nz=30, ny=1, tau_lw_func='exponential',
+                tau_lw_func_args=[100000.0, 6.0],
+                tau_sw_func='peak_in_atmosphere',
+                tau_sw_func_args=[300000.0, 2000.0, 1.2])
+    np.testing.assert_allclose(np.asarray(w.albedo_mod), rw.albedo_mod,
+                               rtol=1e-12)
+    for args in ((300000.0, 2000.0, 0.0), (300000.0, 2000.0, 0.7)):
+        rw.tau_sw_func_args = args
+        rw.update_grid()
+        w.tau_sw_func_args = args
+        w.update_grid()
+        np.testing.assert_allclose(np.asarray(w.albedo_mod), rw.albedo_mod,
+                                   rtol=1e-12)
+        assert float(np.asarray(w.albedo_mod).max()) < 0.05  # stays frozen
+    # alias case: no absorber at construction
+    w2 = GreyGas(nz=30, ny=4, tau_lw_func='exponential',
+                 tau_lw_func_args=[100000.0, 4.0])
+    w2.albedo[2] = 0.6
+    assert float(np.asarray(w2.albedo_mod)[2]) == 0.6
