@@ -53,15 +53,15 @@ def _sync(tree):
 def bench_grey(n_ensemble=4096, nz=60, max_steps=3000):
     """The headline grey-RCE ensemble (BASELINE config #1 at ensemble scale).
 
-    converged_fraction lands at ~0.985-0.99, not 1.0: the ~1% tail is
-    high-insolation members (F >~ 1500 W/m^2) whose f32 adaptive-dt
-    controller enters a limit cycle — the 95th-percentile flux-change
-    statistic stalls at ~0.01-0.05 W/m^2 (5e-5 of the member's ~1e3 flux
-    scale, i.e. physically AT equilibrium) above the tightened exit
-    threshold, and the member exits on the legitimate t_end cap instead
-    (timed_out, base.py:322 semantics).  Root-caused on CPU: the same
-    members reproduce in f32 (2/4096) and converge cleanly in f64
-    (~600 steps) — an f32 noise-floor effect, not a controller defect."""
+    The plain f32 march leaves a ~0.05% tail unconverged (2/4096
+    high-insolation members whose delta-percentile exit statistic is blocked
+    by the f32 flux-recurrence noise floor, ~3-5e-3 W/m^2 > the 1e-3
+    threshold); ``grey_evolve_ensemble_robust`` finishes exactly those
+    members in f64 by the reference's own unchanged criterion
+    (models/ensemble.py; pinned by tests/test_grey_rce.py::
+    test_f32_noise_blocked_member_finishes_in_f64).  The timed loop measures
+    the plain march (the throughput number); the finishing pass is timed
+    separately and reported as f64_finish_wall_s."""
     from climatemodel_tpu.constants import p_surface_earth
     from climatemodel_tpu.models import ensemble
     from climatemodel_tpu.models.grey import GreyGas
@@ -85,10 +85,19 @@ def bench_grey(n_ensemble=4096, nz=60, max_steps=3000):
     t_np, steps_np, eqb_np = jax.device_get(
         (final_states.t, info.steps, info.equilibrium))
     days = float(np.sum(t_np)) / 86400.0
-    return {'model_days_per_sec': days / wall, 'wall_s': wall,
-            'ensemble': n_ensemble, 'nz': nz,
-            'total_steps': int(np.sum(steps_np)),
-            'converged_fraction': float(np.mean(eqb_np))}
+    res = {'model_days_per_sec': days / wall, 'wall_s': wall,
+           'ensemble': n_ensemble, 'nz': nz,
+           'total_steps': int(np.sum(steps_np)),
+           'converged_fraction_f32': float(np.mean(eqb_np))}
+    t0 = time.perf_counter()
+    fs_r, info_r, finished = ensemble.grey_finish_unconverged_f64(
+        final_states, info, forcings, p_int, p_c, ft, max_steps=max_steps)
+    _sync(fs_r)
+    res['f64_finish_wall_s'] = time.perf_counter() - t0
+    res['f64_finished_members'] = int(len(finished))
+    res['converged_fraction'] = float(np.mean(
+        jax.device_get(info_r.equilibrium)))
+    return res
 
 
 def bench_sw(nx=2050, ny=1026, nt=400, solver='richtmyer_pallas',

@@ -285,3 +285,54 @@ def test_check_every_with_chunked_device_calls():
     active = w_ref.tau[:, 0] > 0.03
     err = np.abs(np.asarray(w_ref.T) - np.asarray(w_chunk.T))[active]
     assert float(err.max()) < 1.0
+
+
+def test_f32_noise_blocked_member_finishes_in_f64():
+    """The high-insolation f32 tail (VERDICT r03 weak #4): member F=1579.68
+    (and 1550.57) cannot satisfy the delta-percentile exit in f32 — the
+    95th-percentile flux-change statistic bottoms out at ~3-5e-3 W/m^2 (lw
+    recurrence rounding amplified by e^tau_surface), above the 1e-3
+    threshold — so the plain march times out at the t_end cap.  The robust
+    wrapper must finish exactly those members in f64 by the UNCHANGED
+    reference criterion and leave the healthy members' results alone."""
+    import jax
+
+    from climatemodel_tpu.models import ensemble
+
+    world = GreyGas(nz=60, ny=1, tau_lw_func='scale_height',
+                    tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
+                    dtype=jnp.float32)
+    F_values = np.array([900.0, 1200.0, 1550.57387057, 1579.68253968])
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F_values)
+    ft = jnp.asarray(1e-3, jnp.float32)
+    fs, info = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                             ft, max_steps=3000)
+    eqb = np.asarray(jax.device_get(info.equilibrium))
+    tout = np.asarray(jax.device_get(info.timed_out))
+    assert eqb[0] and eqb[1], 'healthy members must converge plainly'
+    assert not eqb[2] and not eqb[3], \
+        'pinned members converged in f32 — the noise floor moved, retire ' \
+        'this test or re-pin the member'
+    assert tout[2] and tout[3]
+
+    fs_r, info_r, finished = ensemble.grey_finish_unconverged_f64(
+        fs, info, forcings, p_int, p_c, ft, max_steps=3000)
+    assert sorted(np.asarray(finished).tolist()) == [2, 3]
+    eqb_r = np.asarray(jax.device_get(info_r.equilibrium))
+    assert eqb_r.all()
+    assert not np.asarray(jax.device_get(info_r.timed_out)).any()
+    # healthy members' temperatures untouched by the scatter
+    np.testing.assert_array_equal(np.asarray(fs_r.T[:2]), np.asarray(fs.T[:2]))
+    # finished members keep the ensemble dtype and continue the f32 state
+    # (the delta exit is path-dependent — base.py quirk, CLAUDE.md — so an
+    # exact endpoint oracle doesn't exist; the spec is 'converged by the
+    # unchanged reference criterion', asserted via equilibrium above)
+    assert fs_r.T.dtype == jnp.float32
+    # mask to the optically active region: thin top levels are radiatively
+    # decoupled and their values are path-dependent (CLAUDE.md quirk)
+    active = np.asarray(world.tau)[:, 0] > 0.03
+    cont = np.abs(np.asarray(fs_r.T[2:], np.float64)
+                  - np.asarray(fs.T[2:], np.float64))[:, active]
+    assert float(cont.max()) < 5.0, cont.max()
+    # total simulated time accumulates across the finishing calls
+    assert np.all(np.asarray(fs_r.t[2:]) > np.asarray(fs.t[2:]))
