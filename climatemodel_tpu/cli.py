@@ -196,11 +196,11 @@ def _cmd_grey(args):
            'max_net_flux': float(abs(world.net_flux).max()),
            'model_days': float(world.state.t) / 86400.0}
     if args.sensitivity:
-        if args.convective:
-            raise SystemExit('--sensitivity is valid for RADIATIVE equilibria '
-                             'only (diagnostics/sensitivity.py docstring)')
         from .diagnostics import sensitivity as _sens
-        dT = _sens.grey_equilibrium_sensitivity(world)
+        # convective marches use the RCE variant (pooled marginal-neutrality
+        # solve); radiative ones the plain implicit-function-theorem solve
+        dT = (_sens.grey_rce_equilibrium_sensitivity(world) if args.convective
+              else _sens.grey_equilibrium_sensitivity(world))
         out['dT_surface_dF_stellar'] = float(dT[0].max())
     print(json.dumps(out))
     if args.plot:

@@ -173,7 +173,14 @@ def _percentile_topk(x, pct):
     order statistics, same lerp — context-FMA ulp differences only) but only
     selects the top ~(100-pct)% tail instead of fully sorting: the march
     evaluates this every (checked) step on |net_flux - prev| (base.py:173),
-    and at 95 the tail is 1/20th of the array.  pct must be static."""
+    and at 95 the tail is 1/20th of the array.  pct must be static.
+
+    NaN semantics match ``jnp.percentile`` too: ``top_k`` sorts NaNs to the
+    top, which would otherwise hand direct consumers (take_time_step host
+    loops, e.g. the staged-tau ramp driver) a plausible FINITE delta from a
+    corrupted flux field — so a NaN anywhere in x propagates explicitly
+    (r03 advisor finding; the fused march is separately protected by its
+    sticky non-finite sentinel)."""
     x = x.reshape(-1)
     n = x.shape[0]
     q = (n - 1) * float(pct) / 100.0
@@ -181,9 +188,11 @@ def _percentile_topk(x, pct):
     frac = q - k0
     m = n - k0
     top = lax.top_k(x, m)[0]
-    if frac == 0.0 or m < 2:
-        return top[m - 1]
-    return top[m - 1] * (1 - frac) + top[m - 2] * frac
+    # top[0] is the global max, already computed: NaN there == NaN anywhere
+    nan_in = jnp.isnan(top[0])
+    val = top[m - 1] if (frac == 0.0 or m < 2) else \
+        top[m - 1] * (1 - frac) + top[m - 2] * frac
+    return jnp.where(nan_in, jnp.asarray(jnp.nan, x.dtype), val)
 
 
 # --------------------------------------------------------------------------

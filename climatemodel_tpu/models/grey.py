@@ -344,7 +344,11 @@ class GreyGas:
         :param chunk_steps: split the device march into chunks of this many
             steps, returning to the host between chunks — use for long
             convective marches on accelerators whose runtimes kill
-            single executions running for minutes.
+            single executions running for minutes.  Combined with
+            ``check_every=K`` a chunk can overshoot its boundary by up to
+            K-1 steps (the while cond is tested before each K-step body), so
+            the single-execution bound is effectively
+            ``chunk_steps + check_every - 1`` steps.
         :param check_every: evaluate the exit criteria every this many steps
             (save=False path only) — amortises the per-step percentile/exit
             machinery that dominates small-column marches on TPU; may

@@ -158,6 +158,30 @@ def precompute_transmission(tau_interface, ba: BandArrays,
                              M_sum=M_sum)
 
 
+def _cached_band_matvec(M, B_c):
+    """``einsum('bim,bm->bi')`` against a cached operator, accumulating in
+    B_c's dtype.  When the cache is stored reduced-precision
+    (``cache_dtype=bf16``) the operands stay bf16 on TPU (the MXU has a
+    native BF16xBF16->F32 dot) but are upcast on every other platform —
+    XLA:CPU lacks that dot for these shapes.  The branch is resolved per
+    EXECUTING platform via ``lax.platform_dependent``, not the process
+    default backend, so a computation explicitly device_put on CPU inside a
+    TPU-default process gets the upcast too (r03 advisor finding)."""
+    if M.dtype == B_c.dtype:
+        return jnp.einsum('bim,bm->bi', M, B_c,
+                          preferred_element_type=B_c.dtype)
+
+    def native(M, B):
+        return jnp.einsum('bim,bm->bi', M, B.astype(M.dtype),
+                          preferred_element_type=B.dtype)
+
+    def upcast(M, B):
+        return jnp.einsum('bim,bm->bi', M.astype(B.dtype), B,
+                          preferred_element_type=B.dtype)
+
+    return jax.lax.platform_dependent(M, B_c, tpu=native, default=upcast)
+
+
 def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
                            F_star_factor):
     """Per-step flux evaluation with the tau-dependent factors precomputed:
@@ -177,17 +201,8 @@ def real_gas_fluxes_cached(T, T_g, cache: TransmissionCache, ba: BandArrays,
     # bf16 (see precompute_transmission's cache_dtype); this per-direction
     # evaluation is the DIAGNOSTICS path (saved animation fluxes, OLR) —
     # marches go through real_gas_net_and_diff_cached
-    # NOTE: default_backend() is a TRACE-TIME proxy for where this runs —
-    # a bf16-cache march explicitly placed on CPU inside a TPU-default
-    # process would keep the bf16 dot XLA:CPU lacks; supported placements
-    # are the process-default backend (tests force CPU via jax_platforms)
-    op_dtype = (cache.M_up.dtype if jax.default_backend() == 'tpu'
-                else B_c.dtype)
-    B_c_m = B_c.astype(op_dtype)
-    m_up = jnp.einsum('bim,bm->bi', cache.M_up.astype(op_dtype), B_c_m,
-                      preferred_element_type=B_c.dtype)
-    m_down = jnp.einsum('bim,bm->bi', cache.M_down.astype(op_dtype), B_c_m,
-                        preferred_element_type=B_c.dtype)
+    m_up = _cached_band_matvec(cache.M_up, B_c)
+    m_down = _cached_band_matvec(cache.M_down, B_c)
     integral_up = -(cache.lo_up * B_int + m_up + cache.sf_up * B_g[:, None])
     integral_down = (cache.toa_down * B_int[:, :1] + m_down
                      + cache.hi_down * B_int)
@@ -325,12 +340,8 @@ def real_gas_net_and_diff_cached(T, T_g, cache: TransmissionCache,
     diff_base = jnp.sum(w[:, 1:] - w[:, :-1], axis=0)            # [nz-1]
 
     # XLA:CPU lacks a BF16xBF16->F32 dot for these shapes — upcast off-TPU
-    # (trace-time proxy: see the same check in real_gas_fluxes_cached)
-    op_dtype = (cache.D_sum.dtype if jax.default_backend() == 'tpu'
-                else B_c.dtype)
-    E = jnp.einsum('bim,bm->bi', cache.D_sum.astype(op_dtype),
-                   B_c.astype(op_dtype),
-                   preferred_element_type=B_c.dtype)             # [L, nz-1]
+    # (branch resolved per executing platform, see _cached_band_matvec)
+    E = _cached_band_matvec(cache.D_sum, B_c)                    # [L, nz-1]
     dl = delta[ba.lw_list]                                       # [L]
     c0 = -jnp.sum(dl * jnp.einsum('bm,bm->b', cache.row0_sum, B_c))
     g = -(E.T @ dl)                                              # [nz-1]

@@ -468,3 +468,18 @@ def test_check_every_sticky_negative_T_abort():
     st1, info1 = run(1)
     assert bool(info1.failed)
     assert float(st1.T[0, 0]) < 0
+
+def test_percentile_topk_propagates_nan():
+    """A NaN anywhere in the input must yield NaN, like jnp.percentile —
+    top_k alone sorts NaNs to the top and would return a plausible finite
+    value (r03 advisor finding)."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.models.column import _percentile_topk
+    rng = np.random.default_rng(0)
+    for n in (1, 3, 59, 381):
+        for pct in (95, 50, 100):
+            x = rng.normal(size=n).astype(np.float32)
+            x[n // 2] = np.nan
+            got = float(_percentile_topk(jnp.asarray(x), pct))
+            assert np.isnan(got), (n, pct, got)
+            assert np.isnan(float(jnp.percentile(jnp.asarray(x), pct)))

@@ -120,14 +120,16 @@ def test_cli_grey_end_to_end(tmp_path):
 
 def test_grey_sensitivity_flag(capsys, tmp_path, monkeypatch):
     """--sensitivity reports dT_surface/dF_stellar at the marched radiative
-    equilibrium; it matches the exact grey oracle T/(4F) and is refused for
-    convective marches."""
+    equilibrium (matching the exact grey oracle T/(4F)); with --convective it
+    routes to the pooled RCE solve instead of refusing (r03 advisor)."""
     from climatemodel_tpu.constants import F_sun
     cli.main(['grey', '--world', 'scale_height', '--nz', '40',
               '--sensitivity'])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     expect = out['T_surface'] / (4.0 * F_sun)
     assert abs(out['dT_surface_dF_stellar'] / expect - 1) < 0.02
-    with pytest.raises(SystemExit, match='RADIATIVE'):
-        cli.main(['grey', '--world', 'scale_height', '--nz', '40',
-                  '--convective', '--sensitivity'])
+    cli.main(['grey', '--world', 'scale_height', '--nz', '40',
+              '--convective', '--sensitivity'])
+    out_c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # same order of magnitude as the radiative response; finite and positive
+    assert 0 < out_c['dT_surface_dF_stellar'] < 10 * expect

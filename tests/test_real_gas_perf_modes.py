@@ -45,10 +45,12 @@ def test_bf16_cache_equilibrium_close_to_f32():
     fast.evolve_to_equilibrium(flux_thresh=1e-2, save=False, t_end=20.0)
     # bf16 storage shifts the atmospheric-emission integrals by ~0.4%
     # relative; combined with the ft=1e-2 march slack the optically thick
-    # (tau > 0.3) equilibrium moves by ~0.5 K typical, < 1 K
+    # (tau > 0.3) equilibrium moves by 0.31-0.40 K max (measured: 0.315 K
+    # CPU f32 now, 0.40 K recorded on v5e) — assert at 1.5x the larger
+    # measurement (r02/r03 directive: bound derived from the measurement)
     act = _active_cells(ref)
     err = np.abs(np.asarray(ref.T) - np.asarray(fast.T))[act]
-    assert float(err.max()) < 1.0
+    assert float(err.max()) < 0.6
     assert np.isfinite(np.asarray(fast.T)).all()
 
 
@@ -102,7 +104,8 @@ def test_bf16_cache_hires_march_stable():
     fast.evolve_to_equilibrium(flux_thresh=1e-2, save=False, t_end=20.0)
     act = _active_cells(ref)
     err = np.abs(np.asarray(ref.T) - np.asarray(fast.T))[act]
-    assert float(err.max()) < 1.0          # measured 0.35 K
+    # measured 0.303 K (CPU f32 now) / 0.35 K (v5e record); 1.5x margin
+    assert float(err.max()) < 0.6
 
 
 def _make_hires(cache_dtype=None):
@@ -125,7 +128,7 @@ def test_bf16_cache_ensemble_path():
         cache_dtype=jnp.bfloat16)
     act = _active_cells(gas)
     err = np.abs(np.asarray(out32.T) - np.asarray(out16.T))[:, act]
-    assert float(err.max()) < 1.0
+    assert float(err.max()) < 0.6          # same bound as the solo column
 
 
 def test_check_every_real_gas_march():
