@@ -228,15 +228,62 @@ def _accumulate_numpy(p, T, nu_grid, nu_l, sw_l, gam_l, nair_l, centre, n_w,
 # line-list IO (hitran.py:40-124)
 # --------------------------------------------------------------------------
 
+# the native HITRAN 160-character fixed-width record (the .par download
+# format, hitranonline "160-char" / HITRAN2004+): leading field widths and
+# names.  Only the first 9 fields are consumed (same set the reference's
+# named-column format carries, hitran.py:40-58); the quanta/error/reference
+# trailer (93 chars) is ignored.
+_PAR_WIDTHS = [2, 1, 12, 10, 10, 5, 5, 10, 4, 8]
+_PAR_NAMES = ['molec_id', 'local_iso_id', 'nu', 'sw', 'a', 'gamma_air',
+              'gamma_self', 'elower', 'n_air', 'delta_air']
+
+
+def _looks_like_par(path):
+    """Sniff a line file's format: the reference's .txt carries a named
+    header ('molec_id ...'); a bare 160-char HITRAN record starts with the
+    right-justified molecule id digits."""
+    with open(path) as f:
+        first = f.readline().rstrip('\n')
+    if 'molec_id' in first:
+        return False
+    return len(first) >= sum(_PAR_WIDTHS) and \
+        first[:3].strip().replace('.', '').isdigit()
+
+
+def _parse_par(path):
+    """Parse a HITRAN 160-char fixed-width .par line file into column
+    arrays (the format hitranonline serves for bulk line downloads)."""
+    data = np.genfromtxt(path, delimiter=_PAR_WIDTHS, names=_PAR_NAMES,
+                         autostrip=True)
+    data = np.atleast_1d(data)
+    return {name: np.asarray(data[name], dtype=np.float64)
+            for name in _PAR_NAMES}
+
+
 def load_molecule_data(molecule_name, data_folder=None):
-    """Load a HITRAN .txt line list, keep the main isotopologue, convert
-    intensities (hitran.py:40-58).  Uses the native C++ parser when available
-    (1e5-row whitespace tables are the data-loader hot path); falls back to
-    np.genfromtxt."""
+    """Load a HITRAN line list, keep the main isotopologue, convert
+    intensities (hitran.py:40-58).
+
+    Accepts BOTH upstream formats, resolved per file:
+
+    * ``<mol>.txt`` with a named-column header (the reference's genfromtxt
+      format, hitran.py:40-53) — parsed by the native C++ table parser when
+      available (1e5-row whitespace tables are the data-loader hot path),
+      else np.genfromtxt;
+    * ``<mol>.par`` (or a headerless ``<mol>.txt``) in the native HITRAN
+      160-character fixed-width record format — what hitranonline's bulk
+      download serves, so real line lists drop in unmodified (see
+      docs/hitran_dropin.md).
+    """
     folder = data_folder or DEFAULT_LINE_DATA_DIR
+    par_file = os.path.join(folder, molecule_name + '.par')
     molecule_file = os.path.join(folder, molecule_name + '.txt')
     from .. import native
-    if native.available():
+    if os.path.isfile(par_file):
+        cols = _parse_par(par_file)
+    elif os.path.isfile(molecule_file) and _looks_like_par(molecule_file):
+        cols = _parse_par(molecule_file)
+    elif native.available():
         with open(molecule_file) as f:
             names = f.readline().split()
         body = native.parse_numeric_table(molecule_file, skip_lines=1)
