@@ -227,6 +227,32 @@ def _iso_rows_vmap_rule(axis_size, in_batched, theta3, v):
     return out.reshape(b2, b, n), True
 
 
+def _segmented_running_max(x, resets):
+    """Per-position running max that restarts (inclusive) wherever ``resets``
+    is True — the classic segmented scan, log-depth, no scatter."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+    _, out = lax.associative_scan(comb, (resets, x))
+    return out
+
+
+def _segment_abs_max(dT, changed):
+    """max|dT| over each connected run of ``changed``, broadcast back onto
+    the run's positions (0 elsewhere).  Scatter-free: the previous
+    ``zeros.at[seg_id].max(...)`` formulation lowers to a serialized scatter
+    loop on TPU; two segmented associative scans (forward from run starts,
+    backward from run ends) compute the same thing in log depth."""
+    x = jnp.where(changed, jnp.abs(dT), jnp.zeros_like(dT))
+    false1 = jnp.zeros((1,), bool)
+    starts = changed & ~jnp.concatenate([false1, changed[:-1]])
+    ends = changed & ~jnp.concatenate([changed[1:], false1])
+    fwd = _segmented_running_max(x, starts)
+    bwd = jnp.flip(_segmented_running_max(jnp.flip(x), jnp.flip(ends)))
+    return jnp.where(changed, jnp.maximum(fwd, bwd), jnp.zeros_like(x))
+
+
 def _isotonic_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference):
     alpha = R_specific * lapse_rate / g
     pi = (p / p_reference) ** alpha
@@ -241,11 +267,7 @@ def _isotonic_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference):
     changed = jnp.abs(dT) > 1e-12
     # connected changed regions whose adjustment is too large are reverted
     # (reference group-skip rule, convective_adjustment.py:106-110)
-    starts = changed & ~jnp.concatenate([jnp.array([False]), changed[:-1]])
-    seg_id = jnp.where(changed, jnp.cumsum(starts), 0)
-    n = p.shape[0]
-    seg_max = jnp.zeros((n + 1,), T.dtype).at[seg_id].max(jnp.abs(dT))
-    keep = changed & (seg_max[seg_id] < delta_T_thresh)
+    keep = changed & (_segment_abs_max(dT, changed) < delta_T_thresh)
     return jnp.where(keep, T_new, T)
 
 

@@ -212,3 +212,25 @@ def test_pallas_isotonic_shape_fuzz():
         ref = jax.vmap(lambda th: _isotonic_increasing(th, v))(theta)
         got = isotonic_increasing_lanes(theta, v, interpret=True)
         assert bool(jnp.all(ref == got)), (b, n)
+
+
+def test_segment_abs_max_matches_scatter_formulation():
+    """The scatter-free segmented-scan segment max (ops/convection.py
+    _segment_abs_max) equals the original .at[seg_id].max scatter on random
+    segment patterns, including all-False / all-True edges."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.ops.convection import _segment_abs_max
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 7, 150):
+        for frac in (0.0, 0.3, 0.7, 1.0):
+            dT = rng.normal(size=n)
+            changed = rng.random(n) < frac
+            # oracle: the scatter formulation
+            starts = changed & ~np.concatenate([[False], changed[:-1]])
+            seg_id = np.where(changed, np.cumsum(starts), 0)
+            seg_max = np.zeros(n + 1)
+            np.maximum.at(seg_max, seg_id, np.abs(dT))
+            want = np.where(changed, seg_max[seg_id], 0.0)
+            got = np.asarray(_segment_abs_max(jnp.asarray(dT),
+                                              jnp.asarray(changed)))
+            np.testing.assert_allclose(got, want, rtol=0, atol=0)
