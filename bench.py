@@ -400,12 +400,19 @@ def bench_rce_conv():
                   conv_method=method)
         world = _thermosphere_world()
         world.evolve_to_equilibrium(**kw)         # compile + run
-        world2 = _thermosphere_world()
-        t0 = time.perf_counter()
-        world2.evolve_to_equilibrium(**kw)
-        wall = time.perf_counter() - t0
-        days = float(world2.state.t) / 86400.0
-        steps = int(world2._equilibrium_info.steps)
+        # best-of-3 (r03 timed a single run; one tunnel hiccup inflated the
+        # headline ms/step) — each trial is a fresh world so the march
+        # always starts from the isothermal state
+        wall = float('inf')
+        for _ in range(3):
+            world2 = _thermosphere_world()
+            t0 = time.perf_counter()
+            world2.evolve_to_equilibrium(**kw)
+            dt = time.perf_counter() - t0
+            if dt < wall:
+                wall = dt
+                days = float(world2.state.t) / 86400.0
+                steps = int(world2._equilibrium_info.steps)
         res = {'model_days_per_sec': days / wall, 'steps': steps,
                'wall_s': wall, 'steps_per_sec': steps / wall,
                'ms_per_step': 1e3 * wall / steps}
@@ -472,10 +479,12 @@ def _icy_ebm(ny, nz):
 def bench_ebm(ny=64, nz=40):
     world = _icy_ebm(ny, nz)
     world.evolve_to_equilibrium(flux_thresh=1e-3, save=False)  # compile+run
-    world2 = _icy_ebm(ny, nz)
-    t0 = time.perf_counter()
-    world2.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
-    wall = time.perf_counter() - t0
+    wall = float('inf')
+    for _ in range(3):                      # best-of-3, fresh world per trial
+        world2 = _icy_ebm(ny, nz)
+        t0 = time.perf_counter()
+        world2.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+        wall = min(wall, time.perf_counter() - t0)
     days = float(world2.state.t) / 86400.0
     shared = {'model_days_per_sec': days / wall, 'ny': ny,
               'steps': int(world2._equilibrium_info.steps), 'wall_s': wall}
