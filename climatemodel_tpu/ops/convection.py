@@ -87,19 +87,35 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
     """One column of the reference algorithm, re-expressed with masked
     reductions.  p must be descending (surface first)."""
     nz = T.shape[0]
+    alpha = R_specific * lapse_rate / g
+    pi = (p / p_reference) ** alpha
+    w = _trapz_weights(p)
+    if delta_T_thresh is None:
+        delta_T_thresh = jnp.median(T) / 4.0     # 'auto' (convective_adjustment.py:55-56)
+    return _reference_adjust_core(pi, w, T, delta_T_thresh,
+                                  max_groups=max_groups, max_outer=max_outer)
+
+
+def _reference_adjust_core(pi, w, T, delta_T_thresh, max_groups=None,
+                           max_outer=None):
+    """The faithful group-blend iteration on a prepared grid (pi, w)."""
+    nz = T.shape[0]
     if max_groups is None:
         max_groups = nz // 2 + 1
     if max_outer is None:
         max_outer = 4 * nz
-    alpha = R_specific * lapse_rate / g
-    pi = (p / p_reference) ** alpha
-    w = _trapz_weights(p)
+    # theta via a hoisted reciprocal (T * inv_pi, not T / pi): bit-identical
+    # decisions with the Pallas lane kernel (ops/pallas_convection.py), which
+    # cannot divide exactly (Mosaic lowers division to a ~6e-6-relative fast
+    # reciprocal) — marginal instability decisions at the eps-scaled f32
+    # tolerance would otherwise diverge between the two paths.  vs the
+    # reference's T / pi this moves theta by <= 1 ulp (well inside the
+    # operator-parity tolerances).
+    inv_pi = 1.0 / pi
     idx = jnp.arange(nz)
-    if delta_T_thresh is None:
-        delta_T_thresh = jnp.median(T) / 4.0     # 'auto' (convective_adjustment.py:55-56)
 
     def unstable_mask(T, ignored):
-        theta = T / pi
+        theta = T * inv_pi
         d = theta[1:] - theta[:-1]
         d_ext = jnp.concatenate([d, d[-1:]])     # duplicated last diff (line 60-61)
         return (d_ext < -_instability_tol(theta)) & ~ignored
@@ -108,7 +124,7 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
         T, ignored, gid = carry
         in_g = gid == gi
         any_g = jnp.any(in_g)
-        theta = T / pi
+        theta = T * inv_pi
         grp_first = jnp.argmax(in_g)
         grp_last = nz - 1 - jnp.argmax(jnp.flip(in_g))
         # 'lower' candidate: flatten [start .. lo_anchor] at theta[lo_anchor]
@@ -176,6 +192,50 @@ def _reference_adjust_single(p, T, lapse_rate, delta_T_thresh, p_reference,
                                      jnp.asarray(0, jnp.int32),
                                      jnp.asarray(True)))
     return T_out
+
+
+# Batched faithful executor with a custom vmap rule, mirroring _iso_rows:
+# nested vmaps FLATTEN to one leading row axis so TPU batches land on the
+# Pallas lane kernel (ops/pallas_convection.py) in one launch.  The kernel is
+# OPT-IN until verified on the real chip (interpret-mode correctness does not
+# guarantee Mosaic-compiled correctness — CLAUDE.md's Hillis-Steele incident):
+# set CLIMATEMODEL_TPU_CONV_REF_KERNEL=1 to route TPU f32 batches through it.
+def _ref_kernel_enabled():
+    import os
+    return os.environ.get('CLIMATEMODEL_TPU_CONV_REF_KERNEL', '0') == '1'
+
+
+@jax.custom_batching.custom_vmap
+def _ref_rows(theta_rows, pi, w, thresh):
+    """[b, n] batch of columns -> [b, n] faithful adjustments (shared pi/w
+    grid factors; per-column delta_T_thresh)."""
+    if (theta_rows.dtype == jnp.float32 and _ref_kernel_enabled()
+            and jax.default_backend() == 'tpu'):
+        from .pallas_convection import faithful_adjust_lanes
+        return faithful_adjust_lanes(theta_rows, pi, w, thresh)
+    return jax.vmap(lambda Tc, th: _reference_adjust_core(pi, w, Tc, th))(
+        theta_rows, thresh)
+
+
+@_ref_rows.def_vmap
+def _ref_rows_vmap_rule(axis_size, in_batched, T3, pi, w, thresh):
+    T_b, pi_b, w_b, th_b = in_batched
+    if pi_b or w_b:
+        # per-member grids: no shared-grid kernel — plain nested vmap
+        out = jax.vmap(lambda T2, p2, w2, t2: jax.vmap(
+            lambda Tc, th: _reference_adjust_core(p2, w2, Tc, th))(T2, t2),
+            in_axes=(0 if T_b else None, 0 if pi_b else None,
+                     0 if w_b else None, 0 if th_b else None))(T3, pi, w,
+                                                               thresh)
+        return out, True
+    if not T_b:
+        T3 = jnp.broadcast_to(T3[None], (axis_size,) + T3.shape)
+    if not th_b:
+        thresh = jnp.broadcast_to(thresh[None], (axis_size,) + thresh.shape)
+    b2, b, n = T3.shape
+    out = _ref_rows(T3.reshape(b2 * b, n), pi, w,
+                    thresh.reshape(b2 * b))        # recurse: merge batches
+    return out.reshape(b2, b, n), True
 
 
 # --------------------------------------------------------------------------
@@ -316,12 +376,24 @@ def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
     if not descending:
         p = jnp.flip(p)
         T = jnp.flip(T, axis=0)
-    adjust = jax.vmap(
-        lambda Tc: convective_adjustment_single(p, Tc, lapse_rate,
-                                                delta_T_thresh, p_reference,
-                                                method),
-        in_axes=1, out_axes=1)
-    T_new = adjust(T)
+    if method == 'reference':
+        # batched executor: columns on rows; on TPU f32 (opt-in) the whole
+        # nested-loop iteration runs as ONE Pallas launch with the batch on
+        # lanes instead of dozens of tiny sequenced reductions per column
+        alpha = R_specific * lapse_rate / g
+        pi = (p / p_reference) ** alpha
+        w = _trapz_weights(p)
+        thresh = (jnp.median(T, axis=0) / 4.0 if delta_T_thresh is None
+                  else jnp.broadcast_to(jnp.asarray(delta_T_thresh, T.dtype),
+                                        (T.shape[1],)))
+        T_new = _ref_rows(T.T, pi, w, thresh).T
+    else:
+        adjust = jax.vmap(
+            lambda Tc: convective_adjustment_single(p, Tc, lapse_rate,
+                                                    delta_T_thresh,
+                                                    p_reference, method),
+            in_axes=1, out_axes=1)
+        T_new = adjust(T)
     if not descending:
         T_new = jnp.flip(T_new, axis=0)
     if squeeze:
