@@ -516,7 +516,16 @@ def bench_ebm(ny=64, nz=40):
     shared['independent_dt_ensemble'] = {
         'model_days_per_sec': days_e / wall_e, 'wall_s': wall_e,
         'total_steps': int(np.sum(steps_np)),
-        'converged_fraction': float(np.mean(eqb_np))}
+        'converged_fraction_f32': float(np.mean(eqb_np))}
+    # the same f32 noise-floor tail as the grey ensemble (~2/64 latitudes):
+    # finish the blocked members in f64 by the unchanged criterion
+    fs_r, info_r, finished = ensemble.grey_finish_unconverged_f64(
+        fs, info, forcings, p_int, p_c, ft)
+    _sync(fs_r)
+    shared['independent_dt_ensemble']['f64_finished_members'] = \
+        int(len(finished))
+    shared['independent_dt_ensemble']['converged_fraction'] = float(
+        np.mean(jax.device_get(info_r.equilibrium)))
     return shared
 
 
