@@ -35,10 +35,35 @@ import jax.numpy as jnp
 # the axon tunnel: a cold-worker grey_rce config wall of ~1040 s (BENCH_r02)
 # collapses to ctor + deserialize once this dir is populated.  Override the
 # location (or disable with an empty string) via CLIMATEMODEL_TPU_COMPILE_CACHE.
-_CACHE_DIR = os.environ.get(
-    'CLIMATEMODEL_TPU_COMPILE_CACHE',
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 '.jax_compile_cache'))
+#
+# The dir is scoped per HOST CPU fingerprint: rounds can run on different
+# machines, and XLA:CPU AOT executables compiled for another machine's
+# feature set load with a may-SIGILL warning — a SIGILL in a CPU-fallback
+# bench would kill the process with no JSON record.  (TPU entries keyed by
+# the same fingerprint just recompile once per new host.)
+
+
+def _host_cache_dir(base):
+    import hashlib
+    import platform as _platform
+    sig = _platform.machine() + ';' + _platform.processor()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    sig += ';' + line.strip()
+                    break
+    except OSError:
+        pass
+    return os.path.join(base, 'host-' +
+                        hashlib.sha1(sig.encode()).hexdigest()[:12])
+
+
+_CACHE_DIR = os.environ.get('CLIMATEMODEL_TPU_COMPILE_CACHE')
+if _CACHE_DIR is None:
+    _CACHE_DIR = _host_cache_dir(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.jax_compile_cache'))
 if _CACHE_DIR:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)

@@ -146,18 +146,36 @@ def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
         p_c64 = jnp.asarray(np.asarray(jax.device_get(p_centre_col),
                                        np.float64))
         ft64 = jnp.asarray(float(jax.device_get(flux_thresh)), jnp.float64)
+        # repeats run lock-step over ALL bad members (vmap can't drop rows),
+        # so a member that converges in an earlier repeat is FROZEN: its
+        # snapshot is kept and later marches of it are ignored (a fresh call
+        # from a converged state would re-tighten ft at i==1 and could both
+        # drift the endpoint and flip its equilibrium flag back off)
+        done = np.zeros(len(bad), bool)
+        fin64 = info64 = None
+
+        def merge(best, new):
+            if best is None:
+                return new
+            return jax.tree_util.tree_map(
+                lambda b, nw: np.where(
+                    done.reshape((-1,) + (1,) * (np.ndim(nw) - 1)), b, nw),
+                best, new)
+
         for _ in range(int(finish_repeats)):
             # fresh-call restart (base.py:301-306): t=0, forced first step
             st64 = st64.replace(t=jnp.zeros_like(st64.t))
-            st64, info64 = grey_evolve_ensemble(st64, fo64, p_i64, p_c64,
-                                                ft64, **kw64)
-            e_np, s_np, t_np = jax.device_get((info64.equilibrium,
-                                               info64.steps, st64.t))
-            steps_extra += np.asarray(s_np, np.int64)
-            t_base += np.asarray(t_np, np.float64)
-            if bool(np.asarray(e_np).all()):
+            st64, step_info = grey_evolve_ensemble(st64, fo64, p_i64, p_c64,
+                                                   ft64, **kw64)
+            e_np, s_np, t_np = jax.device_get((step_info.equilibrium,
+                                               step_info.steps, st64.t))
+            steps_extra += np.where(done, 0, np.asarray(s_np, np.int64))
+            t_base += np.where(done, 0.0, np.asarray(t_np, np.float64))
+            fin64 = merge(fin64, jax.device_get(st64))
+            info64 = merge(info64, jax.device_get(step_info))
+            done |= np.asarray(e_np)
+            if done.all():
                 break
-        fin64, info64 = jax.device_get((st64, info64))
 
     def scatter(full, part):
         full_np = np.array(jax.device_get(full))
