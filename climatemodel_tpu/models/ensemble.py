@@ -78,8 +78,8 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
 
 def grey_evolve_ensemble_robust(states: ColumnState, forcings: GreyForcing,
                                 p_interface, p_centre_col, flux_thresh,
-                                finish_repeats: int = 4,
-                                finish_max_steps: int = 20_000, **march_kw):
+                                finish_repeats: int = 8,
+                                finish_max_steps: int = 1_000, **march_kw):
     """Ensemble march plus an f64 finishing pass for precision-blocked members.
 
     A small tail of reduced-precision members (~2/4096 at f32, high
@@ -111,11 +111,18 @@ def grey_evolve_ensemble_robust(states: ColumnState, forcings: GreyForcing,
 
 def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
                                 p_interface, p_centre_col, flux_thresh,
-                                finish_repeats: int = 4,
-                                finish_max_steps: int = 20_000, **march_kw):
+                                finish_repeats: int = 8,
+                                finish_max_steps: int = 1_000, **march_kw):
     """The f64 finishing pass of :func:`grey_evolve_ensemble_robust`, applied
     to an already-marched ensemble (fs, info) — callers that keep the plain
-    march's result avoid re-running it."""
+    march's result avoid re-running it.
+
+    ``finish_max_steps`` bounds ONE device execution (f64 on TPU is
+    emulated/slow, and the axon worker kills single executions running
+    longer than ~1-2 min — CLAUDE.md); the repeat loop continues a march
+    that ran out of steps from its final state, so the effective budget is
+    ``finish_repeats * finish_max_steps`` steps in watchdog-safe chunks
+    (typical blocked members converge in ~250-600 steps)."""
     eqb, failed, nan = jax.device_get((info.equilibrium, info.failed,
                                        info.nan))
     # only timed-out members are finishing candidates: failed/nan are real
@@ -129,8 +136,13 @@ def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
     sub = lambda x: np.asarray(x)[bad] if (np.ndim(x) and
                                            np.shape(x)[0] == n) else \
         np.asarray(x)
-    fin = jax.tree_util.tree_map(sub, jax.device_get(fs))
-    fo = jax.tree_util.tree_map(sub, jax.device_get(forcings))
+    # ONE batched pull for everything host-side (each separate device_get is
+    # a ~25 ms tunnel round trip — CLAUDE.md)
+    fs_host, info_host, fo_host, p_i_host, p_c_host, ft_host = \
+        jax.device_get((fs, info, forcings, p_interface, p_centre_col,
+                        flux_thresh))
+    fin = jax.tree_util.tree_map(sub, fs_host)
+    fo = jax.tree_util.tree_map(sub, fo_host)
     t_base = np.asarray(fin.t, np.float64)
     steps_extra = np.zeros(len(bad), np.int64)
     kw64 = dict(march_kw)
@@ -141,11 +153,9 @@ def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
                                    else np.asarray(x))
         st64 = jax.tree_util.tree_map(up, fin)
         fo64 = jax.tree_util.tree_map(up, fo)
-        p_i64 = jnp.asarray(np.asarray(jax.device_get(p_interface),
-                                       np.float64))
-        p_c64 = jnp.asarray(np.asarray(jax.device_get(p_centre_col),
-                                       np.float64))
-        ft64 = jnp.asarray(float(jax.device_get(flux_thresh)), jnp.float64)
+        p_i64 = jnp.asarray(np.asarray(p_i_host, np.float64))
+        p_c64 = jnp.asarray(np.asarray(p_c_host, np.float64))
+        ft64 = jnp.asarray(float(ft_host), jnp.float64)
         # repeats run lock-step over ALL bad members (vmap can't drop rows),
         # so a member that converges in an earlier repeat is FROZEN: its
         # snapshot is kept and later marches of it are ignored (a fresh call
@@ -177,21 +187,23 @@ def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
             if done.all():
                 break
 
-    def scatter(full, part):
-        full_np = np.array(jax.device_get(full))
+    def scatter(full_host, part):
+        full_np = np.array(full_host)           # host copy, no device pull
         full_np[bad] = np.asarray(part, full_np.dtype)
         return jnp.asarray(full_np)
-    fs_out = jax.tree_util.tree_map(scatter, fs, fin64)
+    fs_out = jax.tree_util.tree_map(scatter, fs_host, fin64)
     # total simulated time = the f32 march's plus every finishing call's
-    fs_out = fs_out.replace(t=scatter(fs.t, t_base))
+    fs_out = fs_out.replace(t=scatter(fs_host.t, t_base))
     info_out = column.EquilibriumInfo(
-        steps=scatter(info.steps, np.asarray(info.steps)[bad] + steps_extra),
-        delta_net_flux=scatter(info.delta_net_flux, info64.delta_net_flux),
+        steps=scatter(info_host.steps,
+                      np.asarray(info_host.steps)[bad] + steps_extra),
+        delta_net_flux=scatter(info_host.delta_net_flux,
+                               info64.delta_net_flux),
         flux_thresh=info.flux_thresh,
-        failed=scatter(info.failed, info64.failed),
-        equilibrium=scatter(info.equilibrium, info64.equilibrium),
-        nan=scatter(info.nan, info64.nan),
-        timed_out=scatter(info.timed_out,
+        failed=scatter(info_host.failed, info64.failed),
+        equilibrium=scatter(info_host.equilibrium, info64.equilibrium),
+        nan=scatter(info_host.nan, info64.nan),
+        timed_out=scatter(info_host.timed_out,
                           np.asarray(info64.timed_out)
                           & ~np.asarray(info64.equilibrium)))
     return fs_out, info_out, bad

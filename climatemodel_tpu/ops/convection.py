@@ -209,12 +209,23 @@ def _ref_kernel_enabled():
 def _ref_rows(theta_rows, pi, w, thresh):
     """[b, n] batch of columns -> [b, n] faithful adjustments (shared pi/w
     grid factors; per-column delta_T_thresh)."""
-    if (theta_rows.dtype == jnp.float32 and _ref_kernel_enabled()
-            and jax.default_backend() == 'tpu'):
+    def xla(T2, pi, w, th):
+        return jax.vmap(
+            lambda Tc, t: _reference_adjust_core(pi, w, Tc, t))(T2, th)
+
+    if theta_rows.dtype == jnp.float32 and _ref_kernel_enabled():
         from .pallas_convection import faithful_adjust_lanes
-        return faithful_adjust_lanes(theta_rows, pi, w, thresh)
-    return jax.vmap(lambda Tc, th: _reference_adjust_core(pi, w, Tc, th))(
-        theta_rows, thresh)
+
+        # branch per EXECUTING platform (not the trace-time process default):
+        # a CPU-placed computation in a TPU-default process must not try to
+        # run the Mosaic kernel (same bug class as the r03 advisor's real_gas
+        # finding; the env gate itself is trace-time — flip it before the
+        # first compile)
+        return jax.lax.platform_dependent(
+            theta_rows, pi, w, thresh,
+            tpu=lambda T2, pi, w, th: faithful_adjust_lanes(T2, pi, w, th),
+            default=xla)
+    return xla(theta_rows, pi, w, thresh)
 
 
 @_ref_rows.def_vmap

@@ -56,7 +56,13 @@ def _faithful_kernel(T_ref, pi_ref, ipi_ref, w_ref, thr_ref, out_ref, th_pad,
     thr = thr_ref[:]                     # [1, LANE]
     dtype = out_ref.dtype
     small = jnp.asarray(_SMALL, dtype)
-    eps16 = jnp.asarray(16 * jnp.finfo(dtype).eps, dtype)
+    # dtype-aware tolerance EXACTLY like ops/convection._instability_tol:
+    # the eps-scaled term applies only below f64 — in f64 the reference's
+    # 1e-10 constant is used verbatim (16*eps_f64*theta would exceed it at
+    # micro-mass high-theta levels and silently skip marginal adjustments
+    # the executed reference performs)
+    eps = float(jnp.finfo(dtype).eps)
+    eps16 = jnp.asarray(16 * eps if eps > 1e-12 else 0.0, dtype)
     zero = jnp.zeros((n, LANE), dtype)
 
     def row_at(x, r):

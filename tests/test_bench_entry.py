@@ -25,6 +25,17 @@ def _no_backend_env(n_virtual=None):
     # fast-failing stand-in for a wedged axon tunnel that would block forever)
     env['JAX_PLATFORMS'] = 'definitely_not_a_platform'
     env.pop('JAX_PLATFORM_NAME', None)
+    # the axon plugin's sitecustomize force-overrides jax_platforms to
+    # 'axon,cpu' at interpreter start, which would defeat the simulation
+    # entirely once the tunnel is healthy (the probe would succeed and the
+    # FULL bench would run on the real chip inside this test) — strip it
+    # from PYTHONPATH so the fake platform actually takes effect
+    pp = [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+          if p and 'axon' not in p]
+    if pp:
+        env['PYTHONPATH'] = os.pathsep.join(pp)
+    else:
+        env.pop('PYTHONPATH', None)
     if n_virtual:
         flags = env.get('XLA_FLAGS', '')
         if 'xla_force_host_platform_device_count' not in flags:

@@ -92,3 +92,29 @@ def test_kernel_gate_defaults_off(monkeypatch):
     assert cv._ref_kernel_enabled() is False
     monkeypatch.setenv('CLIMATEMODEL_TPU_CONV_REF_KERNEL', '1')
     assert cv._ref_kernel_enabled() is True
+
+
+def test_kernel_f64_uses_reference_constant_tolerance():
+    """In f64 the kernel must use the reference's exact 1e-10 tolerance with
+    NO eps scaling (at micro-mass high-theta levels 16*eps_f64*theta exceeds
+    1e-10 and would silently skip marginal adjustments the executed reference
+    performs — _instability_tol's documented rule).  A synthetic column with
+    theta ~ 1e5 and one adjacent diff of -2e-10 must be adjusted identically
+    by the kernel and the XLA core."""
+    n = 16
+    p = jnp.asarray(np.logspace(5, 2, n), jnp.float64)
+    alpha = R_specific * (g / c_p_dry) / g
+    pi = (p / p_surface_earth) ** alpha
+    w = cv._trapz_weights(p)
+    theta = 1e5 + jnp.arange(n, dtype=jnp.float64)      # stable ramp
+    theta = theta.at[8].set(theta[7] - 2e-10)           # marginal instability
+    T = theta * pi
+    thr = jnp.asarray([jnp.median(T) / 4.0])
+    want = cv._reference_adjust_single(p, T, g / c_p_dry, thr[0],
+                                       p_surface_earth)
+    assert bool(jnp.any(want != T)), 'the XLA core must adjust this column'
+    got = faithful_adjust_lanes(T[None, :], pi, w, thr, interpret=True)[0]
+    assert bool(jnp.any(got != T)), \
+        'kernel skipped the marginal adjustment: f64 tolerance regressed'
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-12)
