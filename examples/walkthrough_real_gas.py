@@ -92,11 +92,17 @@ def run_walkthrough(nz='auto', n_nu_bands=120, co2_multipliers=(1.0, 2.0, 100.0)
 
     spectra = {'base': atmos.up_flux[0, lw].copy()}
     areas = {}
-    for mol in ('CO2', 'CH4'):
+    # O3 rides along (notebook cells 26-27).  With REAL HITRAN data the
+    # reference finds O3 the most potent of the three at equal added mass
+    # (its 1042 cm^-1 band sits in the atmospheric window, unsaturated);
+    # the fabricated fixture's O3 band is weaker relative to CH4, so the
+    # ordering here is CH4 > O3 > CO2 — drop in real line lists
+    # (docs/hitran_dropin.md) to reproduce the reference's ordering.
+    for mol in ('CO2', 'CH4', 'O3'):
         areas[mol] = []
         for mult in co2_multipliers:
             m = mult if mol == 'CO2' else \
-                float(mass_equivalent_multiplier('CH4', mult))
+                float(mass_equivalent_multiplier(mol, mult))
             olr.update_flux(atmos, scaled_q_args(atmos, mol, m), earth_temp)
             areas[mol].append(olr.get_olr_area(atmos))
             spectra[(mol, mult)] = atmos.up_flux[0, lw].copy()
@@ -105,7 +111,7 @@ def run_walkthrough(nz='auto', n_nu_bands=120, co2_multipliers=(1.0, 2.0, 100.0)
 
     say('\nDelta-OLR for the SAME ADDED MASS (CO2-equivalent multipliers '
         f'{list(co2_multipliers[1:])}):')
-    for mol in ('CO2', 'CH4'):
+    for mol in ('CO2', 'CH4', 'O3'):
         d = [areas[mol][0] - a for a in areas[mol][1:]]
         say(f'  {mol}: ' + ', '.join(f'{x:8.3f} W/m^2' for x in d))
     dco2 = areas['CO2'][0] - areas['CO2'][1]
