@@ -443,8 +443,45 @@ def bench_rce_conv():
                'ms_per_step': 1e3 * wall / steps}
         if method == 'reference':
             out.update(res, nz=world2.nz, conv_method='reference')
+            T_ref_endpoint = np.asarray(world2.T, np.float64)
+            tau_ref = np.asarray(world2.tau)
         else:
             out['isotonic_variant'] = res
+
+    # explicit Pallas-kernel executor (conv_method='reference_kernel'): the
+    # SAME faithful algorithm with the whole nested group-blend iteration in
+    # one launch (ops/pallas_convection.py).  Self-verifying: its endpoint is
+    # compared against the default executor's in the optically active region
+    # before the throughput number is trusted (interpret-mode is bit-exact;
+    # this checks the COMPILED Mosaic path).  Guarded: a kernel failure
+    # annotates the record instead of killing the row.
+    try:
+        kwk = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
+                   conv_method='reference_kernel')
+        _thermosphere_world().evolve_to_equilibrium(**kwk)     # compile
+        wall = float('inf')
+        for _ in range(3):
+            wk = _thermosphere_world()
+            t0 = time.perf_counter()
+            wk.evolve_to_equilibrium(**kwk)
+            dt = time.perf_counter() - t0
+            if dt < wall:
+                wall = dt
+                days = float(wk.state.t) / 86400.0
+                steps = int(wk._equilibrium_info.steps)
+        active = tau_ref[:, 0] > 0.03
+        err = float(np.abs(np.asarray(wk.T, np.float64)
+                           - T_ref_endpoint)[active].max())
+        out['kernel_variant'] = {
+            'model_days_per_sec': days / wall, 'steps': steps,
+            'wall_s': wall, 'ms_per_step': 1e3 * wall / steps,
+            'endpoint_vs_default_K': err,
+            # the two executors are bit-exact in interpret mode, so a large
+            # compiled-path divergence means Mosaic miscompilation — the
+            # throughput number must not be trusted then
+            'endpoint_ok': bool(err < 0.5)}
+    except Exception as e:
+        out['kernel_variant'] = {'error': f'{type(e).__name__}: {e}'[:300]}
     return out
 
 

@@ -205,48 +205,61 @@ def _ref_kernel_enabled():
     return os.environ.get('CLIMATEMODEL_TPU_CONV_REF_KERNEL', '0') == '1'
 
 
-@jax.custom_batching.custom_vmap
-def _ref_rows(theta_rows, pi, w, thresh):
-    """[b, n] batch of columns -> [b, n] faithful adjustments (shared pi/w
-    grid factors; per-column delta_T_thresh)."""
+def _make_ref_rows(use_kernel):
+    """Build a batched faithful executor ([b, n] columns -> adjustments).
+
+    ``use_kernel`` decides whether TPU f32 batches route to the Pallas lane
+    kernel: ``'env'`` consults the CLIMATEMODEL_TPU_CONV_REF_KERNEL gate at
+    trace time (the default ``method='reference'`` executor), ``True``
+    always routes (``method='reference_kernel'``).  Either way the platform
+    branch is resolved per EXECUTING platform via lax.platform_dependent —
+    a CPU-placed computation in a TPU-default process must never trace the
+    Mosaic kernel onto CPU (the r03 advisor's real_gas bug class)."""
+
     def xla(T2, pi, w, th):
         return jax.vmap(
             lambda Tc, t: _reference_adjust_core(pi, w, Tc, t))(T2, th)
 
-    if theta_rows.dtype == jnp.float32 and _ref_kernel_enabled():
-        from .pallas_convection import faithful_adjust_lanes
+    @jax.custom_batching.custom_vmap
+    def rows(theta_rows, pi, w, thresh):
+        enabled = use_kernel is True or (use_kernel == 'env'
+                                         and _ref_kernel_enabled())
+        if theta_rows.dtype == jnp.float32 and enabled:
+            from .pallas_convection import faithful_adjust_lanes
+            return jax.lax.platform_dependent(
+                theta_rows, pi, w, thresh,
+                tpu=lambda T2, p, ww, th: faithful_adjust_lanes(T2, p, ww,
+                                                                th),
+                default=xla)
+        return xla(theta_rows, pi, w, thresh)
 
-        # branch per EXECUTING platform (not the trace-time process default):
-        # a CPU-placed computation in a TPU-default process must not try to
-        # run the Mosaic kernel (same bug class as the r03 advisor's real_gas
-        # finding; the env gate itself is trace-time — flip it before the
-        # first compile)
-        return jax.lax.platform_dependent(
-            theta_rows, pi, w, thresh,
-            tpu=lambda T2, pi, w, th: faithful_adjust_lanes(T2, pi, w, th),
-            default=xla)
-    return xla(theta_rows, pi, w, thresh)
+    @rows.def_vmap
+    def _rule(axis_size, in_batched, T3, pi, w, thresh):
+        T_b, pi_b, w_b, th_b = in_batched
+        if pi_b or w_b:
+            # per-member grids: no shared-grid kernel — plain nested vmap
+            out = jax.vmap(lambda T2, p2, w2, t2: jax.vmap(
+                lambda Tc, th: _reference_adjust_core(p2, w2, Tc, th))(T2,
+                                                                       t2),
+                in_axes=(0 if T_b else None, 0 if pi_b else None,
+                         0 if w_b else None, 0 if th_b else None))(T3, pi, w,
+                                                                   thresh)
+            return out, True
+        if not T_b:
+            T3 = jnp.broadcast_to(T3[None], (axis_size,) + T3.shape)
+        if not th_b:
+            thresh = jnp.broadcast_to(thresh[None],
+                                      (axis_size,) + thresh.shape)
+        b2, b, n = T3.shape
+        out = rows(T3.reshape(b2 * b, n), pi, w,
+                   thresh.reshape(b2 * b))         # recurse: merge batches
+        return out.reshape(b2, b, n), True
+
+    return rows
 
 
-@_ref_rows.def_vmap
-def _ref_rows_vmap_rule(axis_size, in_batched, T3, pi, w, thresh):
-    T_b, pi_b, w_b, th_b = in_batched
-    if pi_b or w_b:
-        # per-member grids: no shared-grid kernel — plain nested vmap
-        out = jax.vmap(lambda T2, p2, w2, t2: jax.vmap(
-            lambda Tc, th: _reference_adjust_core(p2, w2, Tc, th))(T2, t2),
-            in_axes=(0 if T_b else None, 0 if pi_b else None,
-                     0 if w_b else None, 0 if th_b else None))(T3, pi, w,
-                                                               thresh)
-        return out, True
-    if not T_b:
-        T3 = jnp.broadcast_to(T3[None], (axis_size,) + T3.shape)
-    if not th_b:
-        thresh = jnp.broadcast_to(thresh[None], (axis_size,) + thresh.shape)
-    b2, b, n = T3.shape
-    out = _ref_rows(T3.reshape(b2 * b, n), pi, w,
-                    thresh.reshape(b2 * b))        # recurse: merge batches
-    return out.reshape(b2, b, n), True
+_ref_rows = _make_ref_rows('env')
+_ref_rows_kernel = _make_ref_rows(True)
 
 
 # --------------------------------------------------------------------------
@@ -352,7 +365,7 @@ def convective_adjustment_single(p, T, lapse_rate=g / c_p_dry,
                                  method='reference'):
     """Adjust one column (p descending, surface first) to convective stability
     dT/dz >= -lapse_rate, conserving enthalpy -integral(T dp)."""
-    if method == 'reference':
+    if method in ('reference', 'reference_kernel'):
         return _reference_adjust_single(p, T, lapse_rate, delta_T_thresh,
                                         p_reference)
     elif method == 'isotonic':
@@ -387,17 +400,23 @@ def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
     if not descending:
         p = jnp.flip(p)
         T = jnp.flip(T, axis=0)
-    if method == 'reference':
-        # batched executor: columns on rows; on TPU f32 (opt-in) the whole
-        # nested-loop iteration runs as ONE Pallas launch with the batch on
-        # lanes instead of dozens of tiny sequenced reductions per column
+    if method in ('reference', 'reference_kernel'):
+        # batched executor: columns on rows; on TPU f32 the whole nested-loop
+        # iteration runs as ONE Pallas launch with the batch on lanes instead
+        # of dozens of tiny sequenced reductions per column.  'reference'
+        # consults the CLIMATEMODEL_TPU_CONV_REF_KERNEL gate (off until the
+        # kernel is verified compiled on the real chip); 'reference_kernel'
+        # requests the kernel explicitly — same physics, same faithful
+        # algorithm, only the executor differs (off-TPU both fall back to
+        # the XLA core via lax.platform_dependent).
         alpha = R_specific * lapse_rate / g
         pi = (p / p_reference) ** alpha
         w = _trapz_weights(p)
         thresh = (jnp.median(T, axis=0) / 4.0 if delta_T_thresh is None
                   else jnp.broadcast_to(jnp.asarray(delta_T_thresh, T.dtype),
                                         (T.shape[1],)))
-        T_new = _ref_rows(T.T, pi, w, thresh).T
+        rows = _ref_rows_kernel if method == 'reference_kernel' else _ref_rows
+        T_new = rows(T.T, pi, w, thresh).T
     else:
         adjust = jax.vmap(
             lambda Tc: convective_adjustment_single(p, Tc, lapse_rate,

@@ -118,3 +118,14 @@ def test_kernel_f64_uses_reference_constant_tolerance():
         'kernel skipped the marginal adjustment: f64 tolerance regressed'
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=1e-12)
+
+
+def test_reference_kernel_method_equals_reference_off_tpu():
+    """conv_method='reference_kernel' is the same faithful algorithm with an
+    explicit kernel executor; off-TPU it must reproduce method='reference'
+    exactly (lax.platform_dependent default branch = the XLA core)."""
+    p, T0 = _thermo_profile(nz=80)
+    T = jnp.stack([T0, T0 * 1.02], axis=1)
+    a = cv.convective_adjustment(p, T, method='reference')
+    b = cv.convective_adjustment(p, T, method='reference_kernel')
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
