@@ -70,9 +70,16 @@ def _faithful_kernel(T_ref, pi_ref, ipi_ref, w_ref, thr_ref, out_ref, th_pad,
         masked-sum extraction (per-lane sublane gathers are unsupported)."""
         return jnp.sum(jnp.where(idx == r, x, zero), axis=0, keepdims=True)
 
-    def unstable(T, ignored):
+    # boolean [n, LANE] vectors never enter loop CARRIES: Mosaic's i1-vector
+    # relayouts are a known miscompile risk class (CLAUDE.md), so masks are
+    # carried as int32 0/1 and converted at use
+    as_i32 = lambda m: m.astype(jnp.int32)
+    as_bool = lambda m: m != 0
+
+    def unstable(T, ignored_i):
         """The reference's duplicated-last-diff instability mask at the
-        dtype-aware tolerance (ops/convection.py _instability_tol)."""
+        dtype-aware tolerance (ops/convection.py _instability_tol); int32
+        0/1 output."""
         theta = T * ipi
         th_pad[pl.ds(0, n), :] = theta
         th_pad[pl.ds(n, 1), :] = row_at(theta, n - 1)
@@ -82,11 +89,13 @@ def _faithful_kernel(T_ref, pi_ref, ipi_ref, w_ref, thr_ref, out_ref, th_pad,
         d = jnp.where(idx == n - 1, row_at(d, n - 2), d)
         mag = jnp.where(idx == n - 1, row_at(mag, n - 2), mag)
         tol = jnp.maximum(small, eps16 * mag)
-        return (d < -tol) & ~ignored
+        return as_i32((d < -tol) & ~as_bool(ignored_i))
 
     def group_step(carry):
-        T, ignored, processed, un_frozen = carry
-        cand = un_frozen & ~processed
+        T, ignored_i, processed_i, un_frozen_i = carry
+        ignored = as_bool(ignored_i)
+        un_frozen = as_bool(un_frozen_i)
+        cand = un_frozen & ~as_bool(processed_i)
         has = jnp.any(cand, axis=0, keepdims=True)             # [1, LANE]
         first = jnp.min(jnp.where(cand, idx, n), axis=0, keepdims=True)
         stop = jnp.min(jnp.where((~un_frozen) & (idx >= first), idx, n),
@@ -130,30 +139,31 @@ def _faithful_kernel(T_ref, pi_ref, ipi_ref, w_ref, thr_ref, out_ref, th_pad,
         apply = has & accept
         T = jnp.where(apply, T_new, T)
         ignored = ignored | (in_g & has & ~accept)
-        processed = processed | (in_g & has)
-        return T, ignored, processed, un_frozen
+        processed = as_bool(processed_i) | (in_g & has)
+        return T, as_i32(ignored), as_i32(processed), un_frozen_i
 
     def sweep(carry):
-        T, ignored, un, it, _progressed = carry
+        T, ignored_i, un_i, it, _progressed = carry
         T_prev = T
         # left-to-right over the sweep's FROZEN groups
-        T, ignored, _, _ = lax.while_loop(
-            lambda c: jnp.any(c[3] & ~c[2]), group_step,
-            (T, ignored, jnp.zeros((n, LANE), bool), un))
-        un_new = unstable(T, ignored)
-        progressed = jnp.any(T != T_prev) | jnp.any(un_new != un)
-        return T, ignored, un_new, it + 1, progressed
+        T, ignored_i, _, _ = lax.while_loop(
+            lambda c: jnp.any((c[3] & ~c[2]) != 0), group_step,
+            (T, ignored_i, jnp.zeros((n, LANE), jnp.int32), un_i))
+        un_new = unstable(T, ignored_i)
+        progressed = jnp.any(T != T_prev) | jnp.any(un_new != un_i)
+        return T, ignored_i, un_new, it + 1, as_i32(progressed)
 
     def sweep_cond(carry):
-        _T, _ignored, un, it, progressed = carry
-        return jnp.any(un) & (it < max_outer) & progressed
+        _T, _ignored, un_i, it, progressed_i = carry
+        return jnp.any(un_i != 0) & (it < max_outer) & (progressed_i != 0)
 
     T0 = T_ref[:]
-    ignored0 = jnp.zeros((n, LANE), bool)
+    ignored0 = jnp.zeros((n, LANE), jnp.int32)
     un0 = unstable(T0, ignored0)
     T_fin, _, _, _, _ = lax.while_loop(
         sweep_cond, sweep,
-        (T0, ignored0, un0, jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+        (T0, ignored0, un0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(1, jnp.int32)))
     out_ref[:] = T_fin
 
 
