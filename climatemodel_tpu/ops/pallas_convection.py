@@ -147,7 +147,7 @@ def _faithful_kernel(T_ref, pi_ref, ipi_ref, w_ref, thr_ref, out_ref, th_pad,
         T_prev = T
         # left-to-right over the sweep's FROZEN groups
         T, ignored_i, _, _ = lax.while_loop(
-            lambda c: jnp.any((c[3] & ~c[2]) != 0), group_step,
+            lambda c: jnp.any((c[3] != 0) & (c[2] == 0)), group_step,
             (T, ignored_i, jnp.zeros((n, LANE), jnp.int32), un_i))
         un_new = unstable(T, ignored_i)
         progressed = jnp.any(T != T_prev) | jnp.any(un_new != un_i)
