@@ -322,7 +322,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           max_steps: int = 500_000, p_descending: bool = True,
                           use_delta_exit: bool = True,
                           conv_method: str = 'reference', i0=0,
-                          final_reset: bool = True, check_every: int = 1):
+                          final_reset: bool = True, check_every: int = 1,
+                          dip_memory: bool = False):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
@@ -352,6 +353,22 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         spot: radiative single-column marches drop from ~0.20-0.21 to
         ~0.10-0.13 ms/step (nz=150/600); convective marches are
         sweep-dominated and gain only ~20%.
+    :param dip_memory: static; only meaningful with ``check_every > 1``.
+        The default reduced steps skip the exit statistics entirely, so a
+        march whose delta statistic dips below threshold for one step and
+        then rises again (convective marches under per-step adjustment;
+        individual grey-ensemble members) can MISS its exit and run on —
+        measured as a ~5x step-count regression on convective marches and a
+        converged-fraction drop on the grey ensemble (PERF.md).  With
+        ``dip_memory=True`` every step of the chunk evaluates the full exit
+        criteria and the carry FREEZES at the first stop event (equilibrium
+        dip, negative-T, non-finite, t_end): the returned state, step count,
+        delta and flags are exactly the per-step march's (bit-identical
+        endpoints, tests/test_grey_rce.py), only their detection is deferred
+        to the chunk boundary.  Relative to ``check_every=1`` it amortises
+        the while-loop cond/carry machinery over K steps while keeping the
+        per-step percentile; relative to plain ``check_every=K`` it pays the
+        percentile back in exchange for exactness.
     :return: (final ColumnState, EquilibriumInfo)
     """
     dtype = state.T.dtype
@@ -365,7 +382,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                        net_flux_thresh=net_flux_thresh,
                        net_flux_percentile=net_flux_percentile,
                        p_descending=p_descending, use_delta_exit=use_delta_exit,
-                       conv_method=conv_method, check_every=check_every)
+                       conv_method=conv_method, check_every=check_every,
+                       dip_memory=dip_memory)
 
     def cond(carry):
         _st, _ft, _delta, i, eqb, failed, nan, tout = carry
@@ -399,13 +417,16 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
 def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 convective_adjust, t_end, conv_thresh, conv_t_multiplier,
                 net_flux_thresh, net_flux_percentile, p_descending,
-                use_delta_exit, conv_method, check_every: int = 1):
+                use_delta_exit, conv_method, check_every: int = 1,
+                dip_memory: bool = False):
     """The shared march step over carry (state, ft, delta, i, eqb, failed,
     nan, timed_out) used by both the fused while_loop and the snapshot scan.
 
     ``check_every=K`` prepends K-1 reduced steps (physics + dt controller,
     no exit statistics) to the full checked step — see
-    :func:`evolve_to_equilibrium`."""
+    :func:`evolve_to_equilibrium`.  ``dip_memory=True`` instead runs K
+    fully-checked steps whose carry freezes at the first stop event, making
+    the chunked march bit-identical to the per-step one."""
     def step(st, compute_delta):
         out = net_flux_fn(st.T)
         # net_flux_fn may return (net, net_diff) with a better-conditioned
@@ -423,6 +444,42 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                                 net_flux_diff=net_diff,
                                 compute_delta=compute_delta)
         return st, net, delta
+
+    if dip_memory and check_every > 1:
+        def dip_body(carry):
+            st, ft, delta0, i, eqb0, failed0, nan0, tout0 = carry
+
+            # K fully-checked steps per body call; the carry FREEZES at the
+            # first stop event so state/steps/delta/flags are bit-identical
+            # to the per-step march — only their detection waits for the
+            # chunk boundary.  All selects are vector where's (vmap-safe).
+            def chunk_step(_, c):
+                st, i, delta, eqb, failed, nan, tout = c
+                stop = eqb | failed | nan | tout
+                st_new, net, d = step(st, compute_delta=True)
+                st = jax.tree_util.tree_map(
+                    lambda frozen, new: jnp.where(stop, frozen, new),
+                    st, st_new)
+                delta = jnp.where(stop, delta, d)
+                i = i + jnp.where(stop, 0, 1)
+                failed = failed | ((jnp.min(st.T) < 0) & ~stop)
+                nan = nan | (~(jnp.all(jnp.isfinite(st.T))
+                               & jnp.all(jnp.isfinite(net))) & ~stop)
+                hit = check_equilibrium(st.net_flux, delta, ft,
+                                        use_delta_exit) & ~stop
+                eqb = eqb | hit
+                tout = tout | (((st.t - t0) / SECONDS_PER_YEAR > t_end)
+                               & ~hit & ~stop)
+                return st, i, delta, eqb, failed, nan, tout
+
+            # outer cond guarantees every flag is False on entry; the &False
+            # keeps traced dtypes/shapes
+            init = (st, i, delta0, eqb0 & False, failed0 & False,
+                    nan0 & False, tout0 & False)
+            st, i, delta, eqb, failed, nan, tout = lax.fori_loop(
+                0, int(check_every), chunk_step, init)
+            return st, ft, delta, i, eqb, failed, nan, tout
+        return dip_body
 
     def body(carry):
         st, ft, _delta, i, _eqb, failed0, nan0, _tout = carry

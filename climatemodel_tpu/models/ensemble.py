@@ -42,14 +42,14 @@ def grey_ensemble_forcing(world: GreyGas, F_stellar_values) -> GreyForcing:
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
                                              'net_flux_percentile',
                                              'use_delta_exit', 'conv_method',
-                                             'check_every'))
+                                             'check_every', 'dip_memory'))
 def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
                          p_interface, p_centre_col, flux_thresh,
                          convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
                          conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                          net_flux_percentile=95, max_steps=500_000,
                          use_delta_exit=True, conv_method='reference',
-                         check_every=1):
+                         check_every=1, dip_memory=False):
     """vmapped march-to-equilibrium over a leading ensemble axis of
     (states, forcings); the pressure grid is shared.
 
@@ -72,7 +72,7 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
             net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, max_steps=max_steps,
             use_delta_exit=use_delta_exit, conv_method=conv_method,
-            check_every=check_every)
+            check_every=check_every, dip_memory=dip_memory)
     return jax.vmap(one)(states, forcings)
 
 
@@ -247,7 +247,8 @@ def grey_latitude_ensemble(world: GreyGas):
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'use_delta_exit', 'conv_method',
                                              'max_steps', 'stacked_tau',
-                                             'cache_dtype', 'check_every'))
+                                             'cache_dtype', 'check_every',
+                                             'dip_memory'))
 def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
                              tau_interface, ba, F_star_factor, delta,
                              p_interface, p_centre_col, flux_thresh,
@@ -255,7 +256,8 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
                              conv_thresh=1e-5, conv_t_multiplier=5.0,
                              max_steps=500_000, use_delta_exit=True,
                              conv_method='reference', stacked_tau=False,
-                             cache_dtype=None, check_every=1):
+                             cache_dtype=None, check_every=1,
+                             dip_memory=False):
     """vmapped real-gas march over a leading ensemble axis.
 
     With ``stacked_tau=False`` members share one composition: the
@@ -290,7 +292,7 @@ def real_gas_evolve_ensemble(states: ColumnState, F_scales, T_gs,
             conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
             max_steps=max_steps, p_descending=False,
             use_delta_exit=use_delta_exit, conv_method=conv_method,
-            check_every=check_every)
+            check_every=check_every, dip_memory=dip_memory)
     tau_axis = 0 if stacked_tau else None
     return jax.vmap(one, in_axes=(0, 0, 0, tau_axis))(
         states, F_scales, T_gs, tau_interface)

@@ -90,13 +90,13 @@ def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_c
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
                                              'conv_method', 'final_reset',
-                                             'check_every'))
+                                             'check_every', 'dip_memory'))
 def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
                  p_centre_col, flux_thresh, convective_adjust=False, t_end=4.0,
                  conv_thresh=1e-5, conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                  net_flux_percentile=95, max_steps=500_000,
                  conv_method='reference', i0=0, final_reset=True,
-                 check_every=1):
+                 check_every=1, dip_memory=False):
     net_fn = lambda T: grey_net_flux(T, forcing)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
@@ -104,7 +104,7 @@ def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
         conv_t_multiplier=conv_t_multiplier, net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
         conv_method=conv_method, i0=i0, final_reset=final_reset,
-        check_every=check_every)
+        check_every=check_every, dip_memory=dip_memory)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'conv_method',
@@ -331,7 +331,8 @@ class GreyGas:
                               T_initial=None, convective_adjust=False, save=True,
                               t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
                               verbose=False, conv_method='reference',
-                              chunk_steps=None, check_every=1) -> dict:
+                              chunk_steps=None, check_every=1,
+                              dip_memory=False) -> dict:
         """March to equilibrium (base.py:266-335).
 
         save=False runs a single fused lax.while_loop on device (fast path);
@@ -354,6 +355,13 @@ class GreyGas:
             machinery that dominates small-column marches on TPU; may
             overshoot the exit by up to check_every-1 steps (see
             column.evolve_to_equilibrium).  Default 1 = reference semantics.
+        :param dip_memory: with ``check_every=K``, evaluate the full exit
+            criteria every step inside the chunk and freeze the carry at the
+            first stop event — endpoints/steps/flags bit-identical to
+            ``check_every=1`` (detection deferred to the chunk boundary).
+            Use for convective marches and oscillating-delta configs where
+            plain sparse checks miss their exit (see
+            column.evolve_to_equilibrium).
         """
         # data_dict=None restarts the clock (base.py:301-306) — each fresh
         # call gets the t=0 forced first step, so a localized forcing change
@@ -387,7 +395,8 @@ class GreyGas:
                     convective_adjust=convective_adjust, t_end=float(t_end),
                     conv_thresh=conv_thresh,
                     conv_t_multiplier=conv_t_multiplier,
-                    conv_method=conv_method, check_every=int(check_every))
+                    conv_method=conv_method, check_every=int(check_every),
+                    dip_memory=bool(dip_memory))
             else:
                 i0 = 0
                 t_start = t_chunk_start = data_dict['t'][-1]
@@ -403,7 +412,8 @@ class GreyGas:
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method, i0=i0,
                         max_steps=i0 + int(chunk_steps), final_reset=False,
-                        check_every=int(check_every))
+                        check_every=int(check_every),
+                        dip_memory=bool(dip_memory))
                     steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, \
                         tout_np = jax.device_get(
                             (info.steps, info.delta_net_flux, self._state.t,

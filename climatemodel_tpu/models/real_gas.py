@@ -365,14 +365,16 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
                                              'conv_method', 'final_reset',
-                                             'cache_dtype', 'check_every'))
+                                             'cache_dtype', 'check_every',
+                                             'dip_memory'))
 def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
                      F_star_factor, delta, p_interface, p_centre_col,
                      flux_thresh, convective_adjust=False, t_end=4.0,
                      conv_thresh=1e-5, conv_t_multiplier=5.0,
                      net_flux_thresh=1e-7, net_flux_percentile=95,
                      max_steps=500_000, conv_method='reference', i0=0,
-                     final_reset=True, cache_dtype=None, check_every=1):
+                     final_reset=True, cache_dtype=None, check_every=1,
+                     dip_memory=False):
     # tau (composition) is fixed during the march: hoist the transmission
     # matrices and integral-weight products out of the loop; each step is then
     # a couple of small batched matmuls over the Planck factors.
@@ -388,7 +390,8 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
         net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
         p_descending=False, conv_method=conv_method, i0=i0,
-        final_reset=final_reset, check_every=check_every)
+        final_reset=final_reset, check_every=check_every,
+        dip_memory=dip_memory)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'n_snaps',
@@ -739,7 +742,8 @@ class RealGas:
                               T_initial=None, convective_adjust=False,
                               save=False, t_end=4.0, conv_thresh=1e-5,
                               conv_t_multiplier=5, conv_method='reference',
-                              chunk_steps=None, verbose=False, check_every=1):
+                              chunk_steps=None, verbose=False, check_every=1,
+                              dip_memory=False):
         """March to equilibrium (base.py:266-335) with the fused device loop.
 
         :param chunk_steps: split the fused march into device calls of this
@@ -753,6 +757,10 @@ class RealGas:
             machinery that bounds single-column marches on TPU; may overshoot
             the exit by up to check_every-1 steps (see
             column.evolve_to_equilibrium).  Default 1 = reference semantics.
+        :param dip_memory: with ``check_every=K``, evaluate the full exit
+            criteria every step inside the chunk and freeze the carry at the
+            first stop event — bit-identical to ``check_every=1`` (see
+            column.evolve_to_equilibrium); use for convective marches.
         """
         # data_dict=None restarts the clock (base.py:301-306): each fresh call
         # gets the t=0 forced first step.  The starting t is tracked as a
@@ -852,7 +860,7 @@ class RealGas:
         kw = dict(convective_adjust=convective_adjust,
                   conv_thresh=conv_thresh, conv_t_multiplier=conv_t_multiplier,
                   conv_method=conv_method, cache_dtype=self.cache_dtype,
-                  check_every=int(check_every))
+                  check_every=int(check_every), dip_memory=bool(dip_memory))
         ft = jnp.asarray(flux_thresh, self.dtype)
         if chunk_steps is None:
             self._state, info = _real_gas_evolve(self._state, *args, ft,

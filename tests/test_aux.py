@@ -451,7 +451,7 @@ def test_check_every_sticky_negative_T_abort():
         x1 = 1.0 + dp * c_p_dry / g * f
         return jnp.stack([jnp.full((1,), 1.0), jnp.full((1,), x1)])
 
-    def run(check_every):
+    def run(check_every, dip_memory=False):
         state = column.ColumnState(
             T=jnp.full((1, 1), 2.5), net_flux=jnp.zeros((2, 1)),
             t=jnp.asarray(0.0),
@@ -459,7 +459,8 @@ def test_check_every_sticky_negative_T_abort():
                                            dtype=jnp.float64))
         return column.evolve_to_equilibrium(
             state, net_fn, p_int, jnp.asarray([1.5]), flux_thresh=1e-12,
-            t_end=1e12, max_steps=10, check_every=check_every)
+            t_end=1e12, max_steps=10, check_every=check_every,
+            dip_memory=dip_memory)
 
     st8, info8 = run(8)
     assert float(st8.T[0, 0]) > 0             # recovered by the check...
@@ -468,6 +469,15 @@ def test_check_every_sticky_negative_T_abort():
     st1, info1 = run(1)
     assert bool(info1.failed)
     assert float(st1.T[0, 0]) < 0
+
+    # dip_memory freezes the carry AT the failure step: unlike the sticky
+    # plain-K chunk above (which reports the recovered T=+0.5 state), the
+    # dip-memory chunk returns the per-step march's exact failure state
+    st8d, info8d = run(8, dip_memory=True)
+    assert bool(info8d.failed)
+    assert float(st8d.T[0, 0]) == float(st1.T[0, 0])
+    assert int(info8d.steps) == int(info1.steps)
+
 
 def test_percentile_topk_propagates_nan():
     """A NaN anywhere in the input must yield NaN, like jnp.percentile —
