@@ -383,10 +383,16 @@ def bench_grey_single_column(nz=150):
     column.evolve_to_equilibrium) is reported alongside the per-step
     reference cadence.  Radiative delta_net_flux decays monotonically, so the
     sparse checks exit within a few steps of the per-step march (convective
-    marches oscillate and are NOT run chunked)."""
+    marches oscillate and are NOT run chunked).  The dip-memory variant
+    (check_every=8, dip_memory=True) is the bit-exact chunking — per-step
+    exit statistics with the while-loop cond/carry machinery amortised over
+    the chunk — bounding how much of the chunked win is the skipped
+    percentile vs the loop machinery."""
     out = {}
-    for key, K in (('per_step', 1), ('check_every_8', 8)):
-        kw = dict(flux_thresh=1e-3, save=False, check_every=K)
+    for key, K, dip in (('per_step', 1, False), ('check_every_8', 8, False),
+                        ('check_every_8_dip', 8, True)):
+        kw = dict(flux_thresh=1e-3, save=False, check_every=K,
+                  dip_memory=dip)
         _thermosphere_world(nz).evolve_to_equilibrium(**kw)     # compile
         wall = float('inf')
         # best-of-5: each march is only ~0.05-0.15 s, so a single tunnel
@@ -426,9 +432,19 @@ def bench_rce_conv():
     enough (~300 steps) to amortise the fixed dispatch latency — short
     marches measure the tunnel, not the step."""
     out = {}
-    for method in ('reference', 'isotonic'):
+    for key, method, chunk_kw in (
+            ('reference', 'reference', {}),
+            ('isotonic_variant', 'isotonic', {}),
+            # bit-exact chunked exit (dip_memory freezes the carry at the
+            # first stop event): the convective march's delta oscillates so
+            # plain check_every misses its exits, but the dip-memory chunk
+            # keeps per-step statistics while amortising the while-loop
+            # cond/carry machinery — same endpoint bits and step count as
+            # the per-step reference row above it
+            ('dip_memory_variant', 'reference',
+             dict(check_every=8, dip_memory=True))):
         kw = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
-                  conv_method=method)
+                  conv_method=method, **chunk_kw)
         world = _thermosphere_world()
         world.evolve_to_equilibrium(**kw)         # compile + run
         # best-of-3 (r03 timed a single run; one tunnel hiccup inflated the
@@ -447,12 +463,16 @@ def bench_rce_conv():
         res = {'model_days_per_sec': days / wall, 'steps': steps,
                'wall_s': wall, 'steps_per_sec': steps / wall,
                'ms_per_step': 1e3 * wall / steps}
-        if method == 'reference':
+        if key == 'reference':
             out.update(res, nz=world2.nz, conv_method='reference')
             T_ref_endpoint = np.asarray(world2.T, np.float64)
             tau_ref = np.asarray(world2.tau)
         else:
-            out['isotonic_variant'] = res
+            if key == 'dip_memory_variant':
+                res['endpoint_bit_equal'] = bool(
+                    (np.asarray(world2.T, np.float64)
+                     == T_ref_endpoint).all())
+            out[key] = res
 
     # explicit Pallas-kernel executor (conv_method='reference_kernel'): the
     # SAME faithful algorithm with the whole nested group-blend iteration in
@@ -509,10 +529,17 @@ def bench_rce_conv_ensemble(n_ensemble=512):
     states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
     ft = jnp.asarray(1e-1, world.dtype)
     out = {}
-    for method in ('reference', 'isotonic'):
+    for key, method, chunk_kw in (
+            ('reference', 'reference', {}),
+            ('isotonic_variant', 'isotonic', {}),
+            # bit-exact chunked exit — member-by-member identical endpoints
+            # and convergence flags (plain check_every regressed the
+            # converged fraction here, PERF.md), cond/carry amortised
+            ('dip_memory_variant', 'reference',
+             dict(check_every=4, dip_memory=True))):
         run = lambda: ensemble.grey_evolve_ensemble(
             states, forcings, p_int, p_c, ft, convective_adjust=True,
-            max_steps=3000, conv_method=method)
+            max_steps=3000, conv_method=method, **chunk_kw)
         res = run()
         _sync(res)
         wall = float('inf')
@@ -528,11 +555,14 @@ def bench_rce_conv_ensemble(n_ensemble=512):
         r = {'model_days_per_sec': days / wall, 'wall_s': wall,
              'total_steps': int(np.sum(steps_np)),
              'converged_fraction': float(np.mean(eqb_np))}
-        if method == 'reference':
+        if key == 'reference':
             out.update(r, ensemble=n_ensemble, nz=world.nz,
                        conv_method='reference')
+            steps_ref = steps_np
         else:
-            out['isotonic_variant'] = r
+            if key == 'dip_memory_variant':
+                r['steps_bit_equal'] = bool((steps_np == steps_ref).all())
+            out[key] = r
     return out
 
 
