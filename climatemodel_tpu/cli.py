@@ -188,7 +188,8 @@ def _cmd_grey(args):
                                 convective_adjust=args.convective,
                                 conv_method=args.conv_method,
                                 verbose=args.verbose,
-                                check_every=args.check_every)
+                                check_every=args.check_every,
+                                dip_memory=args.dip_memory)
     info = world._equilibrium_info
     out = {'world': args.world, 'nz': world.nz, 'ny': args.ny,
            'steps': int(info.steps),
@@ -355,7 +356,20 @@ def _cmd_ice_albedo(args):
         print(f'plot -> {args.plot}')
 
 
+def _honor_platform_env():
+    """Make ``JAX_PLATFORMS=cpu python -m climatemodel_tpu ...`` actually run
+    on CPU: plugin backends (axon TPU tunnel) ignore the env var alone, so a
+    CPU-intended CLI run would initialize the tunnel — and HANG indefinitely
+    if it is wedged.  Mirroring the env var into jax.config before any jax
+    use keeps the CLI drivable when the TPU backend is unreachable."""
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        import jax
+        jax.config.update('jax_platforms', plat)
+
+
 def main(argv=None):
+    _honor_platform_env()
     ap = argparse.ArgumentParser(prog='climatemodel-tpu', description=__doc__)
     sub = ap.add_subparsers(dest='cmd', required=True)
 
@@ -373,6 +387,12 @@ def main(argv=None):
     p.add_argument('--check-every', type=int, default=1,
                    help='evaluate the march exit criteria every N steps '
                         '(chunked exit; 1 = reference per-step cadence)')
+    p.add_argument('--dip-memory', action='store_true',
+                   help='with --check-every N: per-step exit statistics with '
+                        'the carry frozen at the first stop event — '
+                        'bit-identical to per-step cadence (use for '
+                        'convective marches, whose oscillating delta plain '
+                        'sparse checks miss)')
     p.add_argument('--conv-method', choices=['reference', 'isotonic'],
                    default='reference',
                    help='faithful group-blend (parity-grade, the default '

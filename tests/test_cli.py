@@ -133,3 +133,39 @@ def test_grey_sensitivity_flag(capsys, tmp_path, monkeypatch):
     out_c = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # same order of magnitude as the radiative response; finite and positive
     assert 0 < out_c['dT_surface_dF_stellar'] < 10 * expect
+
+
+def test_cli_dip_memory_matches_per_step(capsys):
+    """--check-every 8 --dip-memory returns the per-step march's exact
+    endpoint and step count (the dip-memory chunked exit is bit-identical,
+    column.evolve_to_equilibrium)."""
+    argv = ['grey', '--world', 'thermosphere', '--nz', '40',
+            '--flux-thresh', '1e-1', '--convective']
+    cli.main(argv)
+    per_step = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(argv + ['--check-every', '8', '--dip-memory'])
+    dip = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert dip['steps'] == per_step['steps']
+    assert dip['T_surface'] == per_step['T_surface']
+    assert dip['max_net_flux'] == per_step['max_net_flux']
+
+
+def test_cli_honors_jax_platforms_env():
+    """The CLI must mirror JAX_PLATFORMS into jax.config before any jax use:
+    plugin backends ignore the env var alone (the axon sitecustomize even
+    force-overrides jax_platforms at interpreter start), so without the
+    mirror a CPU-intended run initializes the TPU tunnel — and hangs forever
+    when it is wedged.  A nonexistent platform stands in for the wedged
+    tunnel: the run must fail FAST with the configured platform in the error,
+    proving the env var (not the sitecustomize default) won."""
+    import os
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'definitely_not_a_platform'
+    env.pop('JAX_PLATFORM_NAME', None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, '-m', 'climatemodel_tpu', 'grey', '--world',
+         'scale_height', '--nz', '40', '--flux-thresh', '5.0'],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=180)
+    assert proc.returncode != 0
+    assert 'definitely_not_a_platform' in (proc.stderr + proc.stdout)
