@@ -287,7 +287,9 @@ def _cmd_real_gas(args):
             print(f'ensemble states -> {args.out}')
         return
     gas.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
-                              verbose=args.verbose)
+                              verbose=args.verbose,
+                              check_every=args.check_every,
+                              dip_memory=args.dip_memory)
     print(json.dumps({'molecules': kw['molecule_names'], 'nz': gas.nz,
                       'n_bands': args.n_bands, 'T_g': float(gas.T_g),
                       'T_surface_air': float(gas.T[-1, 0]),
@@ -418,6 +420,13 @@ def main(argv=None):
                    help="solve each sweep member's balanced ground "
                         'temperature first (vectorised secant; the solve '
                         "marches at the reference's flux_thresh=0.1)")
+    p.add_argument('--check-every', type=int, default=1,
+                   help='evaluate the march exit criteria every N steps '
+                        '(chunked exit; 1 = reference per-step cadence)')
+    p.add_argument('--dip-memory', action='store_true',
+                   help='with --check-every N: per-step exit statistics with '
+                        'the carry frozen at the first stop event — '
+                        'bit-identical to the per-step cadence')
     p.add_argument('--verbose', action='store_true')
     _add_common(p)
     p.set_defaults(fn=_cmd_real_gas)

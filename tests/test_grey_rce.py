@@ -287,6 +287,32 @@ def test_check_every_with_chunked_device_calls():
     assert float(err.max()) < 1.0
 
 
+def test_dip_memory_with_chunked_device_calls():
+    """dip_memory composes with chunk_steps (the watchdog-bounded multi-call
+    march): device-call boundaries never alter the physics steps, and the
+    dip-memory chunk freezes at the true exit step, so the endpoint stays
+    BIT-IDENTICAL to the single-call per-step march (the plain check_every
+    composition above only holds a 1 K tolerance)."""
+    def make():
+        return GreyGas(nz=60, ny=1,
+                       tau_lw_func='scale_height_and_peak_in_atmosphere',
+                       tau_lw_func_args=[51000, 4, 100, 600, 0.1],
+                       tau_sw_func='scale_height_and_peak_in_atmosphere',
+                       tau_sw_func_args=[p_surface_earth, 0.12, 100, 20,
+                                         0.002])
+    w_ref, w_chunk = make(), make()
+    w_ref.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                convective_adjust=True)
+    w_chunk.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                  convective_adjust=True,
+                                  chunk_steps=25, check_every=4,
+                                  dip_memory=True)
+    i_ref, i_chunk = w_ref._equilibrium_info, w_chunk._equilibrium_info
+    assert bool(np.asarray(i_chunk.equilibrium))
+    np.testing.assert_array_equal(np.asarray(w_ref.T), np.asarray(w_chunk.T))
+    assert int(i_ref.steps) == int(i_chunk.steps)
+
+
 def test_dip_memory_bit_identical_to_per_step():
     """``check_every=K, dip_memory=True`` freezes the carry at the first stop
     event, so the FULL adaptive march — not just a step-capped prefix — is
