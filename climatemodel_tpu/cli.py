@@ -261,7 +261,8 @@ def _cmd_real_gas(args):
                 tg_info['converged']).sum())
         fs, info = ensemble.real_gas_evolve_ensemble(
             states, sc, T_gs, *margs, jnp.asarray(args.flux_thresh, gas.dtype),
-            t_end=20.0)
+            t_end=20.0, check_every=args.check_every,
+            dip_memory=args.dip_memory)
         eqb_np, Tg_np, T_sfc = jax.device_get(
             (info.equilibrium, T_gs, fs.T[:, -1, 0]))
         rec.update({'converged': int(eqb_np.sum()),

@@ -383,7 +383,7 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                        net_flux_percentile=net_flux_percentile,
                        p_descending=p_descending, use_delta_exit=use_delta_exit,
                        conv_method=conv_method, check_every=check_every,
-                       dip_memory=dip_memory)
+                       dip_memory=dip_memory, max_steps=max_steps)
 
     def cond(carry):
         _st, _ft, _delta, i, eqb, failed, nan, tout = carry
@@ -418,7 +418,7 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 convective_adjust, t_end, conv_thresh, conv_t_multiplier,
                 net_flux_thresh, net_flux_percentile, p_descending,
                 use_delta_exit, conv_method, check_every: int = 1,
-                dip_memory: bool = False):
+                dip_memory: bool = False, max_steps=None):
     """The shared march step over carry (state, ft, delta, i, eqb, failed,
     nan, timed_out) used by both the fused while_loop and the snapshot scan.
 
@@ -426,7 +426,9 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
     no exit statistics) to the full checked step — see
     :func:`evolve_to_equilibrium`.  ``dip_memory=True`` instead runs K
     fully-checked steps whose carry freezes at the first stop event, making
-    the chunked march bit-identical to the per-step one."""
+    the chunked march bit-identical to the per-step one; it requires
+    ``max_steps`` so the freeze also honours the step cap (a capped per-step
+    march stops AT ``max_steps``, so the chunk must too)."""
     def step(st, compute_delta):
         out = net_flux_fn(st.T)
         # net_flux_fn may return (net, net_diff) with a better-conditioned
@@ -445,31 +447,47 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                                 compute_delta=compute_delta)
         return st, net, delta
 
+    def exit_flags(st, net, delta, ft):
+        """The per-step stop criteria, evaluated ONCE here so the per-step
+        body and the dip-memory chunk cannot drift apart (their bit-identity
+        is the dip feature's whole contract)."""
+        eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
+        failed = jnp.min(st.T) < 0
+        # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
+        # first non-finite temperature or flux instead of looping on garbage
+        nan = ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
+        tout = ((st.t - t0) / SECONDS_PER_YEAR > t_end) & ~eqb
+        return eqb, failed, nan, tout
+
     if dip_memory and check_every > 1:
+        if max_steps is None:
+            raise ValueError('dip_memory requires max_steps (the freeze '
+                             'must honour the step cap)')
+
         def dip_body(carry):
             st, ft, delta0, i, eqb0, failed0, nan0, tout0 = carry
 
             # K fully-checked steps per body call; the carry FREEZES at the
             # first stop event so state/steps/delta/flags are bit-identical
             # to the per-step march — only their detection waits for the
-            # chunk boundary.  All selects are vector where's (vmap-safe).
+            # chunk boundary.  The step cap is a stop event too: the outer
+            # cond only sees i at chunk boundaries, so without it a capped
+            # march would overshoot by up to K-1 live steps.  All selects
+            # are vector where's (vmap-safe).
             def chunk_step(_, c):
                 st, i, delta, eqb, failed, nan, tout = c
-                stop = eqb | failed | nan | tout
+                stop = eqb | failed | nan | tout | (i >= max_steps)
                 st_new, net, d = step(st, compute_delta=True)
                 st = jax.tree_util.tree_map(
                     lambda frozen, new: jnp.where(stop, frozen, new),
                     st, st_new)
                 delta = jnp.where(stop, delta, d)
                 i = i + jnp.where(stop, 0, 1)
-                failed = failed | ((jnp.min(st.T) < 0) & ~stop)
-                nan = nan | (~(jnp.all(jnp.isfinite(st.T))
-                               & jnp.all(jnp.isfinite(net))) & ~stop)
-                hit = check_equilibrium(st.net_flux, delta, ft,
-                                        use_delta_exit) & ~stop
-                eqb = eqb | hit
-                tout = tout | (((st.t - t0) / SECONDS_PER_YEAR > t_end)
-                               & ~hit & ~stop)
+                hit, f_now, n_now, t_now = exit_flags(st, net, delta, ft)
+                failed = failed | (f_now & ~stop)
+                nan = nan | (n_now & ~stop)
+                eqb = eqb | (hit & ~stop)
+                tout = tout | (t_now & ~stop)
                 return st, i, delta, eqb, failed, nan, tout
 
             # outer cond guarantees every flag is False on entry; the &False
@@ -506,12 +524,9 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
         # chunked-exit mode i==1 only occurs in the fully-checked two-step
         # prefix (evolve_to_equilibrium), which uses a check_every=1 body
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
-        eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
-        failed = failed | (jnp.min(st.T) < 0)
-        # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
-        # first non-finite temperature or flux instead of looping on garbage
-        nan = nan | ~(jnp.all(jnp.isfinite(st.T)) & jnp.all(jnp.isfinite(net)))
-        timed_out = ((st.t - t0) / SECONDS_PER_YEAR > t_end) & ~eqb
+        eqb, f_now, n_now, timed_out = exit_flags(st, net, delta, ft)
+        failed = failed | f_now
+        nan = nan | n_now
         return st, ft, delta, i + 1, eqb, failed, nan, timed_out
     return body
 

@@ -371,6 +371,30 @@ def test_dip_memory_ensemble_exact_convergence():
                                   np.asarray(info4.equilibrium))
 
 
+def test_dip_memory_freezes_at_max_steps_cap():
+    """The step cap is a stop event inside the dip chunk: a capped march must
+    return exactly the per-step march's state at step max_steps, not overshoot
+    by up to K-1 live steps (review finding, reproduced before the fix:
+    steps 38 vs 37 with bit-different endpoints)."""
+    import jax.numpy as jnp
+    from climatemodel_tpu.models import ensemble
+
+    world = GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                    tau_lw_func_args=[100000, 4])
+    F = np.linspace(1200.0, 1400.0, 4)
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
+    ft = jnp.asarray(1e-9, world.dtype)     # unreachable: the cap binds
+    out1, info1 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=37)
+    out4, info4 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=37,
+                                                check_every=4,
+                                                dip_memory=True)
+    np.testing.assert_array_equal(np.asarray(info1.steps),
+                                  np.asarray(info4.steps))
+    np.testing.assert_array_equal(np.asarray(out1.T), np.asarray(out4.T))
+
+
 def test_f32_noise_blocked_member_finishes_in_f64():
     """The high-insolation f32 tail (VERDICT r03 weak #4): member F=1579.68
     (and 1550.57) cannot satisfy the delta-percentile exit in f32 — the
