@@ -363,12 +363,9 @@ def _honor_platform_env():
     """Make ``JAX_PLATFORMS=cpu python -m climatemodel_tpu ...`` actually run
     on CPU: plugin backends (axon TPU tunnel) ignore the env var alone, so a
     CPU-intended CLI run would initialize the tunnel — and HANG indefinitely
-    if it is wedged.  Mirroring the env var into jax.config before any jax
-    use keeps the CLI drivable when the TPU backend is unreachable."""
-    plat = os.environ.get('JAX_PLATFORMS')
-    if plat:
-        import jax
-        jax.config.update('jax_platforms', plat)
+    if it is wedged.  Shared helper: utils/platform.py (examples use it too)."""
+    from .utils.platform import honor_platform_env
+    honor_platform_env()
 
 
 def main(argv=None):

@@ -10,6 +10,9 @@ import sys
 # allow running from any cwd without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from climatemodel_tpu.utils.platform import honor_platform_env
+honor_platform_env()   # JAX_PLATFORMS=cpu must beat the TPU plugin
+
 import matplotlib
 if os.environ.get('DISPLAY', '') == '':
     matplotlib.use('Agg')

@@ -21,6 +21,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from climatemodel_tpu.utils.platform import honor_platform_env
+honor_platform_env()   # JAX_PLATFORMS=cpu must beat the TPU plugin
+
 import numpy as np
 
 

@@ -169,3 +169,48 @@ def test_cli_honors_jax_platforms_env():
         cwd=repo, env=env, capture_output=True, text=True, timeout=180)
     assert proc.returncode != 0
     assert 'definitely_not_a_platform' in (proc.stderr + proc.stdout)
+
+
+def test_examples_honor_platform_env():
+    """Every example script must mirror JAX_PLATFORMS into jax.config right
+    after making the package importable: plugin backends (the axon TPU
+    tunnel) ignore the env var alone, so without the mirror a
+    JAX_PLATFORMS=cpu run of an example initializes the tunnel and hangs
+    when it is wedged (the r04 arctic-walkthrough incident).  Static check
+    so any future example inherits the rule."""
+    import glob
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = sorted(glob.glob(os.path.join(root, 'examples', '*.py')))
+    assert scripts
+    for path in scripts:
+        src = open(path).read()
+        assert 'honor_platform_env()' in src, os.path.basename(path)
+        # and the call must come before the first climatemodel/jax import
+        # that could trigger backend init (any model/ops import)
+        call = src.index('honor_platform_env()')
+        for needle in ('from climatemodel_tpu.models', 'import jax',
+                       'from climatemodel_tpu.diagnostics'):
+            pos = src.find(needle)
+            if pos != -1:
+                assert call < pos, (os.path.basename(path), needle)
+
+
+def test_honor_platform_env_helper(tmp_path):
+    """Functional: with JAX_PLATFORMS set to a bogus platform the helper
+    makes jax fail FAST (config rejects it / backend lookup errors) instead
+    of silently initializing the plugin backend."""
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='definitely_not_a_platform'\n"
+        "from climatemodel_tpu.utils.platform import honor_platform_env\n"
+        "assert honor_platform_env() == 'definitely_not_a_platform'\n"
+        "import jax\n"
+        "try:\n"
+        "    jax.devices(); raise SystemExit(3)\n"
+        "except RuntimeError:\n"
+        "    print('failed fast')\n"
+    )
+    proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                          text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert 'failed fast' in proc.stdout
