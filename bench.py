@@ -762,36 +762,12 @@ _V5E_HBM_GBS = 819.0    # v5e peak HBM bandwidth (public spec), for rooflines
 
 
 def _probe_backend(timeout=150):
-    """Initialize the configured jax backend in a BOUNDED subprocess.
-
-    Returns ``(info_dict, None)`` on success or ``(None, error_str)`` on
-    failure/timeout.  The parent must not touch ``jax.devices()`` before this
-    runs: with the axon tunnel wedged, backend init blocks indefinitely inside
-    the claim loop (BENCH_r03 died exactly there), and a killable subprocess
-    is the only way to bound it.  Override via CLIMATEMODEL_TPU_BENCH_PROBE_S.
-    """
-    import subprocess
-    import sys
-    timeout = float(os.environ.get('CLIMATEMODEL_TPU_BENCH_PROBE_S', timeout))
-    code = ('import jax, json; d = jax.devices(); '
-            'print(json.dumps({"platform": d[0].platform, '
-            '"n_devices": len(d), "device": str(d[0])}))')
-    try:
-        proc = subprocess.run(
-            [sys.executable, '-c', code], capture_output=True, text=True,
-            timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return None, (f'backend init timed out after {timeout:.0f}s '
-                      '(tunnel wedged?)')
-    except Exception as e:                          # pragma: no cover
-        return None, f'backend probe failed to launch: {e}'
-    if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or '').strip()[-300:]
-        return None, f'backend init failed (rc={proc.returncode}): {tail}'
-    try:
-        return json.loads(proc.stdout.strip().splitlines()[-1]), None
-    except Exception as e:
-        return None, f'backend probe output unparseable: {e}'
+    """Bounded-subprocess backend probe (never init a possibly-wedged tunnel
+    in-process); shared logic in utils/platform.probe_backend.  Returns
+    (info_dict, None) or (None, error_str); override seconds via
+    CLIMATEMODEL_TPU_BENCH_PROBE_S."""
+    from climatemodel_tpu.utils.platform import probe_backend
+    return probe_backend(timeout)
 
 
 def _smoke_configs():

@@ -177,13 +177,15 @@ def grey_finish_unconverged_f64(fs: ColumnState, info, forcings: GreyForcing,
             st64 = st64.replace(t=jnp.zeros_like(st64.t))
             st64, step_info = grey_evolve_ensemble(st64, fo64, p_i64, p_c64,
                                                    ft64, **kw64)
-            e_np, s_np, t_np = jax.device_get((step_info.equilibrium,
-                                               step_info.steps, st64.t))
-            steps_extra += np.where(done, 0, np.asarray(s_np, np.int64))
-            t_base += np.where(done, 0.0, np.asarray(t_np, np.float64))
-            fin64 = merge(fin64, jax.device_get(st64))
-            info64 = merge(info64, jax.device_get(step_info))
-            done |= np.asarray(e_np)
+            # ONE batched pull per repeat (CLAUDE.md: every device->host
+            # sync is a ~25 ms tunnel round trip)
+            st_np, info_np = jax.device_get((st64, step_info))
+            steps_extra += np.where(done, 0,
+                                    np.asarray(info_np.steps, np.int64))
+            t_base += np.where(done, 0.0, np.asarray(st_np.t, np.float64))
+            fin64 = merge(fin64, st_np)
+            info64 = merge(info64, info_np)
+            done |= np.asarray(info_np.equilibrium)
             if done.all():
                 break
 

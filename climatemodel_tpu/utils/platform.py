@@ -25,3 +25,44 @@ def honor_platform_env():
         import jax
         jax.config.update('jax_platforms', plat)
     return plat or None
+
+
+def probe_backend(timeout=150, env_override='CLIMATEMODEL_TPU_BENCH_PROBE_S'):
+    """Initialize the configured jax backend in a BOUNDED subprocess.
+
+    Returns ``(info_dict, None)`` on success — ``info_dict`` has
+    ``platform``, ``n_devices`` and ``device`` — or ``(None, error_str)`` on
+    failure/timeout.  The caller must not have touched ``jax.devices()``
+    first: with the axon tunnel wedged, backend init blocks indefinitely
+    inside the claim loop (BENCH_r03 died exactly there) and a killable
+    subprocess is the only way to bound it.  ``env_override`` names an env
+    var whose value (seconds) overrides ``timeout``.
+
+    Shared by bench.py, __graft_entry__.py and
+    tools/verify_conv_kernel_onchip.py so wedged-tunnel semantics can't
+    drift between the driver entry points.
+    """
+    import json
+    import subprocess
+    import sys
+    if env_override:
+        timeout = float(os.environ.get(env_override, timeout))
+    code = ('import jax, json; d = jax.devices(); '
+            'print(json.dumps({"platform": d[0].platform, '
+            '"n_devices": len(d), "device": str(d[0])}))')
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c', code], capture_output=True, text=True,
+            timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, (f'backend init timed out after {timeout:.0f}s '
+                      '(tunnel wedged?)')
+    except Exception as e:                          # pragma: no cover
+        return None, f'backend probe failed to launch: {e}'
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or '').strip()[-300:]
+        return None, f'backend init failed (rc={proc.returncode}): {tail}'
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1]), None
+    except Exception as e:
+        return None, f'backend probe output unparseable: {e}'
