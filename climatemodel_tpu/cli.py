@@ -369,6 +369,7 @@ def _honor_platform_env():
 
 
 def main(argv=None):
+    """Entry point of ``python -m climatemodel_tpu`` (see README)."""
     _honor_platform_env()
     ap = argparse.ArgumentParser(prog='climatemodel-tpu', description=__doc__)
     sub = ap.add_subparsers(dest='cmd', required=True)

@@ -103,6 +103,8 @@ class ColumnState:
 def init_time_step_info(n_levels_flat: int, temp_change: float = 1.0,
                         delta_temp_change: float = 0.01,
                         dtype=jnp.float32) -> TimeStepInfo:
+    """Fresh TimeStepInfo carry for a march (reference time_step_info
+    defaults, base.py:125-128)."""
     f = lambda v: jnp.asarray(v, dtype)
     return TimeStepInfo(
         delta_t=f(temp_change), max_delta_t=f(temp_change),
@@ -298,6 +300,8 @@ def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3,
 # --------------------------------------------------------------------------
 
 class EquilibriumInfo(NamedTuple):
+    """Per-march exit telemetry: step count, final delta statistic and
+    the disjoint exit flags (converged / failed / nan / timed_out)."""
     steps: jnp.ndarray
     delta_net_flux: jnp.ndarray
     flux_thresh: jnp.ndarray

@@ -59,6 +59,8 @@ def grey_fluxes(T, forcing: GreyForcing):
 
 
 def grey_net_flux(T, forcing: GreyForcing):
+    """Net upward flux at every interface, up_lw - down_lw + up_sw -
+    down_sw (grey.py:296-300)."""
     up_lw, down_lw, up_sw, down_sw = grey_fluxes(T, forcing)
     return up_lw - down_lw + up_sw - down_sw
 

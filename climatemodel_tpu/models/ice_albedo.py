@@ -32,6 +32,8 @@ def albedo_step_function(latitude, T_surface=None, albedo_no_ice=0.3,
 
 
 def nearest_value_in_array(array, value):
+    """The element of array closest to value
+    (ice_albedo_feedback.py:9-13)."""
     array = np.asarray(array)
     return array[np.abs(array - value).argmin()]
 

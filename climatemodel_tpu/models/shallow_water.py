@@ -36,6 +36,7 @@ from ..ops import stencils
 
 @struct.dataclass
 class SWState:
+    """Shallow-water prognostic state pytree (ghost cells included)."""
     h: jnp.ndarray          # [nx, ny] fluid depth (incl. ghost cells)
     u: jnp.ndarray          # [nx, ny] zonal velocity
     v: jnp.ndarray          # [nx, ny] meridional velocity
@@ -68,12 +69,15 @@ class SWParams:
 # --------------------------------------------------------------------------
 
 def get_conservative_form(h, u, v, linear):
+    """Stack (h, u, v) into U = [h, hu, hv] (or [h, u, v] linearised),
+    shallow_water.py:457-468."""
     if linear:
         return jnp.stack([h, u, v])
     return jnp.stack([h, h * u, h * v])
 
 
 def get_physical_values(U, linear):
+    """Invert :func:`get_conservative_form`: U -> (h, u, v)."""
     h = U[0]
     if linear:
         return h, U[1], U[2]
@@ -81,6 +85,7 @@ def get_physical_values(U, linear):
 
 
 def make_flux_x(g, h_mean, linear):
+    """x-direction flux F(U) closure (shallow_water.py:471-489)."""
     def flux_x(U):
         if linear:
             return jnp.stack([h_mean * U[1], g * U[0], jnp.zeros_like(U[0])])
@@ -91,6 +96,7 @@ def make_flux_x(g, h_mean, linear):
 
 
 def make_flux_y(g, h_mean, linear):
+    """y-direction flux G(U) closure (shallow_water.py:492-510)."""
     def flux_y(U):
         if linear:
             return jnp.stack([h_mean * U[2], jnp.zeros_like(U[0]), g * U[0]])
@@ -119,6 +125,7 @@ def make_source(g, f_coriolis, h_base, dx, dy, linear):
 
 
 def make_jacobian_x(g):
+    """Flux-Jacobian A = dF/dU closure for lax_wendroff."""
     def jacobian_x(U):
         """A = dF/dU [nx, ny, 3, 3], nonlinear only (shallow_water.py:519-535)."""
         nx, ny = U.shape[1], U.shape[2]
@@ -134,6 +141,7 @@ def make_jacobian_x(g):
 
 
 def make_jacobian_y(g):
+    """Flux-Jacobian B = dG/dU closure for lax_wendroff."""
     def jacobian_y(U):
         """B = dG/dU (shallow_water.py:537-553)."""
         nx, ny = U.shape[1], U.shape[2]
@@ -207,6 +215,8 @@ def apply_boundary_conditions(h, u, v, bx='periodic', by='walls'):
 # --------------------------------------------------------------------------
 
 def masked_mean(field, mask):
+    """Mean of field over mask>0 cells (pad regions can never poison
+    the sum)."""
     # where (not multiply) so undefined values outside the mask — the pad
     # regions of padded-frame fields — can never poison the sum
     return jnp.sum(jnp.where(mask > 0, field, 0)) / jnp.sum(mask)

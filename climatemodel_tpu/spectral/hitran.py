@@ -45,11 +45,14 @@ DEFAULT_LINE_DATA_DIR = os.path.join(_PKG_DATA, 'HitranData')
 
 
 def lookup_table_folder():
+    """Lookup-table directory: CLIMATEMODEL_TPU_LUT_DIR or the packaged
+    fabricated tables."""
     return os.environ.get('CLIMATEMODEL_TPU_LUT_DIR',
                           os.path.join(_PKG_DATA, 'LookupTables'))
 
 
 def table_path(molecule_name, folder=None):
+    """Path of a molecule's .npy lookup table in folder."""
     return os.path.join(folder or lookup_table_folder(), molecule_name + '.npy')
 
 

@@ -55,11 +55,13 @@ def time_fn(fn, *args, repeats=3, **kwargs):
 
 
 def model_days_per_second(simulated_seconds: float, wall_seconds: float) -> float:
+    """Throughput in simulated model-days per wall second."""
     return simulated_seconds / 86400.0 / wall_seconds
 
 
 def cell_updates_per_second(n_cells: int, n_steps: int,
                             wall_seconds: float) -> float:
+    """Throughput in grid-cell updates per wall second."""
     return n_cells * n_steps / wall_seconds
 
 

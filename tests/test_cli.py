@@ -214,3 +214,21 @@ def test_honor_platform_env_helper(tmp_path):
                           text=True, timeout=120)
     assert proc.returncode == 0, proc.stderr
     assert 'failed fast' in proc.stdout
+
+
+def test_api_doc_in_sync():
+    """docs/api.md is generated from the sources' docstrings; regenerating
+    must reproduce the committed file (run python tools/gen_api_doc.py after
+    adding or renaming public symbols), and every public symbol must carry a
+    docstring (the generator would emit '(see source)')."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, 'tools'))
+    try:
+        import gen_api_doc
+        want = gen_api_doc.generate()
+    finally:
+        sys.path.pop(0)
+    got = open(os.path.join(root, 'docs', 'api.md')).read()
+    assert got == want, 'docs/api.md stale: run python tools/gen_api_doc.py'
+    assert '(see source)' not in want, 'public symbol missing a docstring'
