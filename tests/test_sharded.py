@@ -221,3 +221,22 @@ def test_level_sharded_flux_with_shared_dtau():
     np.testing.assert_allclose(np.asarray(up_s), np.asarray(up), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(down_s), np.asarray(down),
                                rtol=1e-10)
+
+
+def test_real_gas_composed_dp_x_spectral():
+    """COMPOSED 2-axis sharding: members on 'data' (dp) and bands on 'x'
+    (tp analogue) simultaneously — the band psum rides one mesh axis while
+    the member axis never communicates.  Reuses the dryrun's self-verifying
+    pattern (__graft_entry__._real_gas_dp_x_spectral asserts step-count
+    agreement and endpoint error vs the single-device march internally)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        import __graft_entry__ as graft
+    finally:
+        sys.path.pop(0)
+    mesh = make_mesh(('data', 'x'), shape=(2, 4), devices=jax.devices()[:8])
+    steps, err = graft._real_gas_dp_x_spectral(mesh)
+    assert steps > 0
