@@ -535,6 +535,49 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
     return body
 
 
+def run_chunked_march(state: ColumnState, evolve: Callable, *, t_host_start,
+                      t_end, chunk_steps, flux_thresh, verbose=False):
+    """Drive a compiled save=False march in bounded chunks (host loop shared
+    by GreyGas and RealGas evolve_to_equilibrium).
+
+    ``chunk_steps`` bounds each single XLA execution against
+    watchdog-limited accelerators (the axon worker kills executions longer
+    than ~1-2 min, CLAUDE.md).  ``evolve(state, ft, i0=, t_end=, max_steps=)``
+    must run the fused march with ``final_reset=False`` and return
+    ``(state, EquilibriumInfo)``.  Each chunk re-anchors its in-device
+    timeout (t_end budgets the WHOLE march, so every chunk gets only the
+    remainder), carries the tightened flux threshold forward (the i==1
+    tightening must survive chunk boundaries), batches all device pulls
+    into one transfer, and prints the reference's per-chunk telemetry
+    (base.py:324-327) when verbose.  Returns ``(state, info)`` with the
+    controller reset for the next fresh call (base.py:329-334).
+    """
+    i0 = 0
+    ft = flux_thresh
+    t_start = t_chunk_start = t_host_start
+    while True:
+        t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
+            / SECONDS_PER_YEAR
+        state, info = evolve(state, ft, i0=i0,
+                             t_end=t_end_chunk,
+                             max_steps=i0 + int(chunk_steps))
+        steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, tout_np = \
+            jax.device_get((info.steps, info.delta_net_flux, state.t,
+                            info.equilibrium, info.failed, info.nan,
+                            info.timed_out))
+        i0 = int(steps_np)
+        ft = info.flux_thresh            # keep the tightened threshold
+        t_chunk_start = float(t_chunk)
+        if verbose:
+            print(f'step {i0}: t = '
+                  f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
+                  f'delta_net_flux = {float(delta_np):.4f}')
+        if bool(eqb_np) or bool(tout_np) or bool(failed_np) or bool(nan_np):
+            break
+    state = state.replace(tsi=reset_time_step_info(state.tsi))
+    return state, info
+
+
 def evolve_snapshots(state: ColumnState, net_flux_fn: Callable, p_interface,
                      p_centre_col, *, n_snaps: int, steps_per_snap: int = 1,
                      snapshot_fn: Callable | None = None,

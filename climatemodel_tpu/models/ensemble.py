@@ -437,11 +437,14 @@ def grey_ensemble(world: GreyGas, F_stellar_values):
     from ..constants import sigma
     n = len(F_stellar_values)
     states = broadcast_state(world.state, n)
-    # isothermal initial condition consistent with each member's forcing
-    # (base.py:51-73 per member)
+    # isothermal initial condition consistent with each member's forcing —
+    # from the RAW albedo exactly like the reference ctor (base.py:120 ->
+    # get_isothermal_temp(self.albedo, ...)), NOT albedo_mod: with an sw
+    # absorber albedo_mod = albedo * exp(-2 tau_sw_surface) < albedo would
+    # seed every member warmer than constructing it as its own GreyGas
     F = np.asarray(F_stellar_values, dtype=np.float64)[:, None]       # [n, 1]
     T0 = (F * world.solar_latitude_factor[None]
-          * (1 - world.albedo_mod[None]) / 4 / sigma) ** 0.25         # [n, ny]
+          * (1 - world.albedo[None]) / 4 / sigma) ** 0.25             # [n, ny]
     T_init = np.broadcast_to(T0[:, None, :], (n,) + world.T.shape)
     states = states.replace(
         T=jnp.asarray(T_init, world.dtype),

@@ -238,6 +238,19 @@ class GreyGas:
         self._refresh_tau_grids()
 
     @property
+    def _p_device(self):
+        """Cached device copies of the fixed pressure grid: host-driven
+        take_time_step loops (the staged-tau ramp) must not re-upload the
+        static geometry every step over the tunnel (r04 review finding).
+        The grid is built once in __init__ — update_grid never changes p —
+        so the cache needs no invalidation."""
+        if getattr(self, '_p_device_cache', None) is None:
+            self._p_device_cache = (
+                jnp.asarray(self.p_interface, self.dtype),
+                jnp.asarray(self.p[:, 0], self.dtype))
+        return self._p_device_cache
+
+    @property
     def albedo_mod(self):
         """Albedo corrected for the missing exp(tau_sw_surface) term
         (grey.py:91-96).  Reference parity: FROZEN at the construction-time
@@ -316,9 +329,10 @@ class GreyGas:
         if t == 0 and T_initial is not None:
             self.T = T_initial
         self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
+        p_int_dev, p_c_dev = self._p_device
         self._state, delta, self._fluxes = _grey_step(
-            self._state, self.forcing, jnp.asarray(self.p_interface, self.dtype),
-            jnp.asarray(self.p[:, 0], self.dtype), changing_tau=changing_tau,
+            self._state, self.forcing, p_int_dev,
+            p_c_dev, changing_tau=changing_tau,
             convective_adjust=convective_adjust, net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
             conv_t_multiplier=conv_t_multiplier)
@@ -400,40 +414,19 @@ class GreyGas:
                     conv_method=conv_method, check_every=int(check_every),
                     dip_memory=bool(dip_memory))
             else:
-                i0 = 0
-                t_start = t_chunk_start = data_dict['t'][-1]
-                while True:
-                    # t_end budgets the whole march; each chunk re-anchors its
-                    # in-device timeout, so hand it only the remainder
-                    t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
-                        / SECONDS_PER_YEAR
-                    self._state, info = _grey_evolve(
-                        self._state, forcing, p_int, p_c, ft,
-                        convective_adjust=convective_adjust,
-                        t_end=t_end_chunk, conv_thresh=conv_thresh,
+                def chunk_evolve(state, ft_c, *, i0, t_end, max_steps):
+                    return _grey_evolve(
+                        state, forcing, p_int, p_c, ft_c,
+                        convective_adjust=convective_adjust, t_end=t_end,
+                        conv_thresh=conv_thresh,
                         conv_t_multiplier=conv_t_multiplier,
-                        conv_method=conv_method, i0=i0,
-                        max_steps=i0 + int(chunk_steps), final_reset=False,
-                        check_every=int(check_every),
+                        conv_method=conv_method, i0=i0, max_steps=max_steps,
+                        final_reset=False, check_every=int(check_every),
                         dip_memory=bool(dip_memory))
-                    steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, \
-                        tout_np = jax.device_get(
-                            (info.steps, info.delta_net_flux, self._state.t,
-                             info.equilibrium, info.failed, info.nan,
-                             info.timed_out))
-                    i0 = int(steps_np)
-                    ft = info.flux_thresh        # keep the tightened threshold
-                    t_chunk_start = float(t_chunk)
-                    if verbose:
-                        # per-chunk convergence telemetry (base.py:324-327)
-                        print(f'step {i0}: t = '
-                              f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
-                              f'delta_net_flux = {float(delta_np):.4f}')
-                    if bool(eqb_np) or bool(tout_np) or bool(failed_np) \
-                            or bool(nan_np):
-                        break
-                self._state = self._state.replace(
-                    tsi=column.reset_time_step_info(self._state.tsi))
+                self._state, info = column.run_chunked_march(
+                    self._state, chunk_evolve,
+                    t_host_start=data_dict['t'][-1], t_end=t_end,
+                    chunk_steps=chunk_steps, flux_thresh=ft, verbose=verbose)
             # refresh flux views at the equilibrium temperature (async)
             self._fluxes = tuple(
                 jnp.asarray(a) for a in _grey_fluxes_jit(self._state.T,

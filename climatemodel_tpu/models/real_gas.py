@@ -587,6 +587,22 @@ class RealGas:
         self._band_arrays_cache = None
         self._F_star_cache = None
         self._tau_device = None
+        self._geom_device_cache = None
+
+    @property
+    def _geom_device(self):
+        """Cached device copies of the static per-step geometry (band
+        widths, interface/centre pressures): host-driven take_time_step
+        loops must not re-upload them every step over the tunnel
+        (r04 review finding)."""
+        if getattr(self, '_geom_device_cache', None) is not None:
+            return self._geom_device_cache
+        d = self.dtype
+        self._geom_device_cache = (
+            jnp.asarray(self.nu_bands['delta'], d),
+            jnp.asarray(self.p_interface, d),
+            jnp.asarray(self.p[:, 0], d))
+        return self._geom_device_cache
 
     @property
     def _F_star_factor(self):
@@ -720,15 +736,16 @@ class RealGas:
         if t == 0 and T_initial is not None:
             self.T = T_initial
         self._state = self._state.replace(t=jnp.asarray(t, self.dtype))
-        net = _net_flux(jnp.asarray(self.T[:, 0], self.dtype),
+        delta_nu, p_int_dev, p_c_dev = self._geom_device
+        # state T stays on device (self.T would pull D2H then re-upload)
+        net = _net_flux(self._state.T[:, 0].astype(self.dtype),
                         jnp.asarray(self.T_g, self.dtype),
                         self.tau_device,
                         self.band_arrays, self._F_star_factor,
-                        jnp.asarray(self.nu_bands['delta'], self.dtype))
+                        delta_nu)
         self._state, delta = column.update_temp(
             self._state, net[:, None],
-            jnp.asarray(self.p_interface, self.dtype),
-            jnp.asarray(self.p[:, 0], self.dtype), changing_tau=changing_tau,
+            p_int_dev, p_c_dev, changing_tau=changing_tau,
             convective_adjust=convective_adjust,
             net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, conv_thresh=conv_thresh,
@@ -795,7 +812,10 @@ class RealGas:
                     jnp.asarray(self.p_interface, self.dtype),
                     jnp.asarray(self.p[:, 0], self.dtype))
             ft = jnp.asarray(flux_thresh, self.dtype)
-            chunk = 256
+            # honor chunk_steps exactly like grey's save path (grey.py:487):
+            # it exists to bound single-XLA-execution length against
+            # watchdog-limited accelerators
+            chunk = int(chunk_steps) if chunk_steps else 256
             i0 = 0
             t_start = t_chunk_start = data_dict['t'][-1]
             while True:
@@ -866,33 +886,14 @@ class RealGas:
             self._state, info = _real_gas_evolve(self._state, *args, ft,
                                                  t_end=float(t_end), **kw)
         else:
-            i0 = 0
-            t_start = t_chunk_start = data_dict['t'][-1]
-            while True:
-                # t_end budgets the whole march; each chunk re-anchors its
-                # in-device timeout, so hand it only the remainder
-                t_end_chunk = float(t_end) - (t_chunk_start - t_start) \
-                    / SECONDS_PER_YEAR
-                self._state, info = _real_gas_evolve(
-                    self._state, *args, ft, i0=i0, t_end=t_end_chunk,
-                    max_steps=i0 + int(chunk_steps), final_reset=False, **kw)
-                steps_np, delta_np, t_chunk, eqb_np, failed_np, nan_np, \
-                    tout_np = jax.device_get(
-                        (info.steps, info.delta_net_flux, self._state.t,
-                         info.equilibrium, info.failed, info.nan,
-                         info.timed_out))
-                i0 = int(steps_np)
-                ft = info.flux_thresh        # keep the tightened threshold
-                t_chunk_start = float(t_chunk)
-                if verbose:
-                    print(f'step {i0}: t = '
-                          f'{float(t_chunk) / SECONDS_PER_YEAR:.3f} yr, '
-                          f'delta_net_flux = {float(delta_np):.4f}')
-                if bool(eqb_np) or bool(tout_np) or bool(failed_np) \
-                        or bool(nan_np):
-                    break
-            self._state = self._state.replace(
-                tsi=column.reset_time_step_info(self._state.tsi))
+            def chunk_evolve(state, ft_c, *, i0, t_end, max_steps):
+                return _real_gas_evolve(state, *args, ft_c, i0=i0,
+                                        t_end=t_end, max_steps=max_steps,
+                                        final_reset=False, **kw)
+            self._state, info = column.run_chunked_march(
+                self._state, chunk_evolve,
+                t_host_start=data_dict['t'][-1], t_end=t_end,
+                chunk_steps=chunk_steps, flux_thresh=ft, verbose=verbose)
         # batch every device->host read into one transfer (each separate sync
         # is a full tunnel round trip on axon)
         self._equilibrium_info, nf_np, t_np, T_np, T_seed_np = jax.device_get(

@@ -284,17 +284,21 @@ def sw_step(state: SWState, params: SWParams, solver='richtmyer', linear=False,
         # fused Pallas TPU kernel: one HBM pass per step including damping and
         # the abort freeze (ops/pallas_stencils)
         from ..ops.pallas_stencils import richtmyer_step_interior
-        interpret = jax.default_backend() != 'tpu'
         # flat orography: skip the two gradient field reads entirely (the
         # jnp path's "- g * 0" source terms are exact no-ops)
         dhb_dx = None if flat_orography else \
             stencils.centered_diff_x(params.h_base, params.dx)
         dhb_dy = None if flat_orography else \
             stencils.centered_diff_y(params.h_base, params.dy)
-        hi, ui, vi, _max2 = richtmyer_step_interior(
+        # interpret mode resolves per EXECUTING platform (never compile
+        # Mosaic for a CPU-placed step in a TPU-default process, and never
+        # silently interpret on a TPU-placed step in a CPU-default one)
+        kern = lambda interp: (lambda *a: richtmyer_step_interior(
+            *a, interpret=interp))
+        hi, ui, vi, _max2 = jax.lax.platform_dependent(
             h, u, v, params.f_coriolis[1:-1, 1:-1], params.r[1:-1, 1:-1],
             dhb_dx, dhb_dy, dt, ok, params.g, params.dx, params.dy,
-            interpret=interpret)
+            tpu=kern(False), default=kern(True))
         h_new = h.at[1:-1, 1:-1].set(hi)
         u_new = u.at[1:-1, 1:-1].set(ui)
         v_new = v.at[1:-1, 1:-1].set(vi)
@@ -393,10 +397,12 @@ def sw_step_frame(state: SWState, max2, params: SWParams, extras, bx, by,
     dt = jnp.where(state.t > 0, dt_cfl, state.dt)
     ok = state.ok & (dt >= 10.0)
 
-    interpret = jax.default_backend() != 'tpu'
-    h_new, u_new, v_new, max2_k = richtmyer_step_frame(
+    # interpret mode resolves per EXECUTING platform (see sw_step)
+    kern = lambda interp: (lambda *a: richtmyer_step_frame(
+        *a, nx, ny, bx=bx, by=by, interpret=interp))
+    h_new, u_new, v_new, max2_k = jax.lax.platform_dependent(
         h, u, v, fcor_int, r_int, dhb_dx, dhb_dy, dt, ok, params.g,
-        params.dx, params.dy, nx, ny, bx=bx, by=by, interpret=interpret)
+        params.dx, params.dy, tpu=kern(False), default=kern(True))
 
     if wind_type is not None:
         # kernel outputs are fully boundary-conditioned: the masked means can
@@ -865,10 +871,14 @@ class ShallowWater:
         if not snapshots:
             self._state = sw_simulate(self._state, self.params, nt,
                                       **self._step_kwargs(target_courant))
-            if not bool(self._state.ok):
+            ok, t1, h1, u1, v1 = jax.device_get(     # one batched pull
+                (self._state.ok, self._state.t, self._state.h,
+                 self._state.u, self._state.v))
+            if not bool(ok):
                 raise ValueError('time step very small')
-            return {'t': np.asarray([float(self._state.t)]),
-                    'h': self.h[None], 'u': self.u[None], 'v': self.v[None]}
+            return {'t': np.asarray([float(t1)]),
+                    'h': np.asarray(h1)[None], 'u': np.asarray(u1)[None],
+                    'v': np.asarray(v1)[None]}
         if save_every is None:
             steps_per_snap = 1
         else:
@@ -887,16 +897,20 @@ class ShallowWater:
         if remainder:
             self._state = sw_simulate(self._state, self.params, remainder,
                                       **self._step_kwargs(target_courant))
-        if not bool(self._state.ok):
-            raise ValueError('time step very small')
         if snaps is None:
-            t1, h1, u1, v1 = jax.device_get(       # one batched pull
-                (self._state.t, self._state.h, self._state.u, self._state.v))
+            ok, t1, h1, u1, v1 = jax.device_get(   # one batched pull
+                (self._state.ok, self._state.t, self._state.h,
+                 self._state.u, self._state.v))
+            if not bool(ok):
+                raise ValueError('time step very small')
             return {'t': np.asarray([float(t0), float(t1)]),
                     'h': np.stack([np.asarray(h0), np.asarray(h1)]),
                     'u': np.stack([np.asarray(u0), np.asarray(u1)]),
                     'v': np.stack([np.asarray(v0), np.asarray(v1)])}
-        t_arr, h_arr, u_arr, v_arr = jax.device_get(snaps)   # one batched pull
+        ok, (t_arr, h_arr, u_arr, v_arr) = jax.device_get(  # one batched pull
+            (self._state.ok, snaps))
+        if not bool(ok):
+            raise ValueError('time step very small')
         return {'t': np.concatenate([[float(t0)], t_arr]),
                 'h': np.concatenate([np.asarray(h0)[None], h_arr]),
                 'u': np.concatenate([np.asarray(u0)[None], u_arr]),

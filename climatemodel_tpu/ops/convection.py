@@ -288,12 +288,21 @@ def _isotonic_increasing(theta, v):
 # ~6 ms at 512x150 and dominated convective-ensemble marches (CLAUDE.md).
 @jax.custom_batching.custom_vmap
 def _iso_rows(theta2d, v):
-    """[b, n] batch of columns -> [b, n] isotonic fits (shared weights v)."""
-    if (jax.default_backend() == 'tpu' and theta2d.dtype == jnp.float32
-            and theta2d.shape[0] >= 8 and theta2d.shape[1] >= 2):
+    """[b, n] batch of columns -> [b, n] isotonic fits (shared weights v).
+
+    The kernel branch resolves per EXECUTING platform via
+    ``lax.platform_dependent`` (never trace Mosaic onto a CPU-placed
+    computation in a TPU-default process — the r03 advisor's bug class)."""
+    xla = lambda th2, vv: jax.vmap(
+        lambda th: _isotonic_increasing(th, vv))(th2)
+    if (theta2d.dtype == jnp.float32 and theta2d.shape[0] >= 8
+            and theta2d.shape[1] >= 2):
         from .pallas_isotonic import isotonic_increasing_lanes
-        return isotonic_increasing_lanes(theta2d, v)
-    return jax.vmap(lambda th: _isotonic_increasing(th, v))(theta2d)
+        return jax.lax.platform_dependent(
+            theta2d, v,
+            tpu=lambda th2, vv: isotonic_increasing_lanes(th2, vv),
+            default=xla)
+    return xla(theta2d, v)
 
 
 @_iso_rows.def_vmap

@@ -71,11 +71,19 @@ def _lw_scan_eval(T, dtau, up_toa, reverse=True):
 # members x nz=60 the scan costs ~0.7 ms/step, ~40x its HBM traffic.
 @jax.custom_batching.custom_vmap
 def _lw_core(T, dtau, up_toa):
-    """[nz-1, b] cells (surface-first) -> (up, down) [nz, b] interfaces."""
-    if (jax.default_backend() == 'tpu' and T.dtype == jnp.float32
-            and T.shape[1] >= 8):
+    """[nz-1, b] cells (surface-first) -> (up, down) [nz, b] interfaces.
+
+    The kernel branch resolves per EXECUTING platform via
+    ``lax.platform_dependent`` — a CPU-placed computation in a TPU-default
+    process must never trace the Mosaic kernel onto CPU (the r03 advisor's
+    real_gas bug class)."""
+    if T.dtype == jnp.float32 and T.shape[1] >= 8:
         from .pallas_two_stream import lw_flux_lanes
-        return lw_flux_lanes(T, dtau, up_toa)
+        return jax.lax.platform_dependent(
+            T, dtau, up_toa,
+            tpu=lambda T_, d_, u_: lw_flux_lanes(T_, d_, u_),
+            default=lambda T_, d_, u_: _lw_scan_eval(T_, d_, u_,
+                                                     reverse=True))
     return _lw_scan_eval(T, dtau, up_toa, reverse=True)
 
 

@@ -139,6 +139,31 @@ def test_grey_ensemble_members_independent():
     assert np.asarray(out_states.T[0]).mean() < np.asarray(out_states.T[1]).mean()
 
 
+def test_grey_ensemble_seeds_from_raw_albedo():
+    """grey_ensemble's isothermal member seeds must come from the RAW albedo
+    (reference base.py:120), not albedo_mod: with an sw absorber the member
+    seed must equal the T0 of a fresh GreyGas built at that stellar constant
+    (r04 review finding — albedo_mod seeding started every member warmer)."""
+    from climatemodel_tpu.models import ensemble
+    w = GreyGas(nz=24, ny=1,
+                tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
+                tau_sw_func='scale_height',
+                tau_sw_func_args=[0.08 * p_surface_earth, 2.0])
+    assert float(w.albedo_mod[0]) < float(w.albedo[0])   # sw absorber active
+    F_vals = np.array([900.0, 1367.0])
+    states, _, _, _ = ensemble.grey_ensemble(w, F_vals)
+    for i, F in enumerate(F_vals):
+        solo = GreyGas(nz=24, ny=1,
+                       tau_lw_func='scale_height',
+                       tau_lw_func_args=[0.22 * p_surface_earth, 4.0],
+                       tau_sw_func='scale_height',
+                       tau_sw_func_args=[0.08 * p_surface_earth, 2.0],
+                       F_stellar_constant=float(F))
+        np.testing.assert_allclose(np.asarray(states.T[i]), solo.T,
+                                   rtol=1e-6)
+
+
 def test_real_gas_ensemble_member_matches_solo():
     """A vmapped real-gas member with scale=1 and the template T_g follows the
     identical trajectory to the solo march (shared transmission cache, own
