@@ -83,9 +83,12 @@ class Animate:
                                               * self.nPlotFrames)
             use_start = np.arange(0, start_end, self.start_step)
             # truncate once the 99th-percentile per-frame change < 0.01 K
-            flat = T_arr.reshape(len(T_arr), -1)
-            small = np.where(np.percentile(np.abs(np.diff(flat, axis=0)), 99,
-                                           axis=1) < 0.01)[0]
+            # — percentile over the LEVEL axis only, exactly like the
+            # reference (animation.py:113-114): for ny>1 a frame counts as
+            # small when ANY latitude's change is small (np.where over the
+            # [n_t-1, ny] mask yields duplicated frame indices, preserved)
+            small = np.where(np.percentile(np.abs(np.diff(T_arr, axis=0)),
+                                           99, axis=1) < 0.01)[0]
             sep = np.where(np.ediff1d(small) > 1)[0]
             if len(sep) == 0:
                 max_index = (len(T_arr) - 1 if len(small) == 0
@@ -135,8 +138,13 @@ class Animate:
             if self.q_array is None:
                 lo = -0.1
             else:
-                lo = min(v[v > 0].min() for arr in self.compos_plot.values()
-                         for v in arr)
+                # positives pooled ACROSS frames per gas (reference
+                # animation.py:194-196): an all-zero frame (e.g. a GHG
+                # added mid-run) contributes nothing instead of crashing;
+                # a gas with no positives anywhere raises like the reference
+                lo = min(
+                    np.concatenate([np.ravel(v[v > 0]) for v in arr]).min()
+                    for arr in self.compos_plot.values())
             hi = max(v.max() for arr in self.compos_plot.values()
                      for v in arr) + 1
             self.ax_lims['compos'] = (lo, hi)

@@ -54,16 +54,18 @@ def get_olr_area(atmos, flux=None):
     return np.trapz(flux[lw], atmos.nu_bands['centre'][lw])
 
 
-def get_surface_up_flux_olr_area(atmos):
-    """OLR area from attenuated surface emission only (base.py:189-206)."""
-    # tau_device is the model's cached upload (invalidated by _refresh_tau):
-    # re-uploading [nz, n_nu] here costs a tunnel round trip per sweep point
-    att = np.asarray(tr.band_attenuation(
-        atmos.tau_device, atmos.band_arrays.idx,
-        atmos.band_arrays.w, atmos.band_arrays.delta, ref_level=atmos.nz - 1))
-    up0 = np.pi * np.asarray(B_wavenumber(atmos.nu_bands['centre'], atmos.T_g))
+def get_surface_up_flux_olr_area(atmos, olr_cont=None):
+    """OLR area from attenuated surface emission only (base.py:189-206).
+
+    The surface term is computed by the model itself
+    (``get_flux(include_olr_breakdown=True)``, real_gas.py:643-665) — ONE
+    source for the physics; pass a precomputed ``olr_cont`` to ride an
+    existing flux evaluation instead of launching another."""
+    if olr_cont is None:
+        _, _, olr_cont = atmos.get_flux(include_olr_breakdown=True)
     lw = _lw_band_mask(atmos)
-    return np.trapz((up0 * att[:, 0])[lw], atmos.nu_bands['centre'][lw])
+    return np.trapz(np.asarray(olr_cont['surface'])[lw],
+                    atmos.nu_bands['centre'][lw])
 
 
 def get_olr_area_add_ghg(atmos, ghg_molecule, co2_ppmv_added, T_func):
@@ -84,9 +86,13 @@ def get_olr_area_add_ghg(atmos, ghg_molecule, co2_ppmv_added, T_func):
         q_args[key] = (
             q_args_base[key][0] + eqv_ppmv(ghg_molecule.upper(), co2_ppmv),
             q_args_base[key][1])
-        update_flux(atmos, q_args, T_func)
+        update_tau(atmos, q_args, T_func)
+        up, down, olr_cont = atmos.get_flux(include_olr_breakdown=True)
+        atmos.up_flux, atmos.down_flux = up, down
+        d_nu = atmos.nu_bands['delta']
+        atmos.net_flux = (up * d_nu).sum(axis=1) - (down * d_nu).sum(axis=1)
         tot_flux.append(get_olr_area(atmos))
-        surface_flux.append(get_surface_up_flux_olr_area(atmos))
+        surface_flux.append(get_surface_up_flux_olr_area(atmos, olr_cont))
     return np.array(tot_flux), np.array(surface_flux)
 
 

@@ -125,7 +125,12 @@ def grey_equilibrium_sensitivity(world, dforcing=None, active_tau_thresh=None):
     active = (None if active_tau_thresh is None
               else jnp.abs(forcing.dtau) > active_tau_thresh)
 
+    @jax.jit
     def one_col(T_col, p_col, f_col, df_col, act_col):
+        # jitted: the per-latitude host loop must dispatch ONE compiled
+        # call per column, not an eager jacfwd/solve chain (each eager op
+        # is a tunnel round trip on axon; r04 review finding).  Compiled
+        # once — column shapes are identical across j.
         tend = lambda T: _grey_tendency(T, f_col, p_col)
         _, dF = jax.jvp(lambda f: _grey_tendency(T_col, f, p_col),
                         (f_col,), (df_col,))
@@ -151,8 +156,15 @@ def _pooled_rce_solve(T_col, pi, w, J, dF, pool_tol):
     endpoint, dT = R x with R the per-pool adiabat shapes, equations = the
     pool-wise w-weighted enthalpy balance of the perturbed tendency.
     Orientation-agnostic: T_col/pi/w and J/dF just have to share an index
-    order."""
-    theta = np.asarray(T_col) / np.asarray(pi)
+    order.
+
+    Everything here is HOST NumPy on pulled data: the pool structure is
+    data-dependent (m varies per column, so a jitted solve would retrace
+    per distinct pool count) and the matrices are small — the caller pulls
+    (T_col, J, dF) in one batched device_get (r04 review finding)."""
+    T_col, pi, w, J, dF = (np.asarray(x, np.float64)
+                           for x in (T_col, pi, w, J, dF))
+    theta = T_col / pi
     rel = np.abs(np.diff(theta)) / np.maximum(np.abs(theta[:-1]),
                                               np.abs(theta[1:]))
     same = rel < pool_tol
@@ -160,13 +172,11 @@ def _pooled_rce_solve(T_col, pi, w, J, dF, pool_tol):
     m = int(pool_id[-1]) + 1
     n = T_col.shape[0]
     R = np.zeros((n, m))
-    R[np.arange(n), pool_id] = np.asarray(pi)
+    R[np.arange(n), pool_id] = pi
     W = np.zeros((m, n))
-    W[pool_id, np.arange(n)] = np.asarray(w)
-    Rj = jnp.asarray(R, T_col.dtype)
-    Wj = jnp.asarray(W, T_col.dtype)
-    x = jnp.linalg.solve(Wj @ J @ Rj, -(Wj @ dF))
-    return Rj @ x
+    W[pool_id, np.arange(n)] = w
+    x = np.linalg.solve(W @ J @ R, -(W @ dF))
+    return R @ x
 
 
 def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
@@ -216,12 +226,16 @@ def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
     pi = (p_c / p_surface_earth) ** alpha
     w = _trapz_weights(p_c)
 
-    def one_col(T_col, p_col, f_col, df_col):
+    @jax.jit
+    def col_jac(T_col, p_col, f_col, df_col):
+        # ONE compiled device call per column (compiled once); the pooled
+        # solve itself is host NumPy on a single batched pull
         J = jax.jacfwd(lambda T: _grey_tendency(T, f_col, p_col))(T_col)
         _, dF = jax.jvp(lambda f: _grey_tendency(T_col, f, p_col),
                         (f_col,), (df_col,))
-        return _pooled_rce_solve(T_col, pi, w, J, dF, pool_tol)
+        return J, dF
 
+    pi_np, w_np = jax.device_get((pi, w))
     ny = T_eq.shape[1]
     outs = []
     for j in range(ny):
@@ -231,8 +245,11 @@ def grey_rce_equilibrium_sensitivity(world, dforcing=None, pool_tol=1e-4):
         df_col = jax.tree_util.tree_map(
             lambda x: x[..., j:j + 1] if x.ndim == 2 else
             (x[j:j + 1] if x.ndim == 1 else x), dforcing)
-        outs.append(one_col(T_eq[:, j], p_int[:, j], f_col, df_col))
-    return np.asarray(jnp.stack(outs, axis=1))
+        J, dF = col_jac(T_eq[:, j], p_int[:, j], f_col, df_col)
+        T_np, J_np, dF_np = jax.device_get((T_eq[:, j], J, dF))
+        outs.append(_pooled_rce_solve(T_np, pi_np, w_np, J_np, dF_np,
+                                      pool_tol))
+    return np.stack(outs, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -317,4 +334,5 @@ def real_gas_rce_equilibrium_sensitivity(gas, d_tau_interface=None,
     # the adjustment's enthalpy weights are defined on descending p; flip in
     # and out so the weights stay positive in this module's TOA-first order
     w = jnp.flip(_trapz_weights(jnp.flip(p_c)))
-    return np.asarray(_pooled_rce_solve(T_eq, pi, w, J, dF, pool_tol))
+    T_np, pi_np, w_np, J_np, dF_np = jax.device_get((T_eq, pi, w, J, dF))
+    return _pooled_rce_solve(T_np, pi_np, w_np, J_np, dF_np, pool_tol)

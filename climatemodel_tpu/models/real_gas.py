@@ -719,7 +719,7 @@ class RealGas:
         if include_olr_breakdown:
             # surface vs atmosphere contributions to OLR (real_gas.py:643-665)
             att = np.asarray(_band_attenuation_jit(
-                jnp.asarray(self.tau_interface, self.dtype),
+                self.tau_device,
                 self.band_arrays.idx, self.band_arrays.w,
                 self.band_arrays.delta, ref_level=self.nz - 1))
             surface = np.pi * np.asarray(

@@ -25,8 +25,13 @@ _tried = False
 
 
 def build(force=False):
-    """Compile the shared library with g++ (-O3 -fPIC -fopenmp)."""
-    if os.path.exists(_LIB) and not force:
+    """Compile the shared library with g++ (-O3 -fPIC -fopenmp).
+
+    Rebuilds automatically when the source is newer than an existing .so
+    (a prebuilt library must not silently shadow source edits — r04 review
+    finding)."""
+    if os.path.exists(_LIB) and not force and \
+            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-fopenmp', '-o', _LIB, _SRC]
     try:
@@ -34,7 +39,12 @@ def build(force=False):
     except (OSError, subprocess.CalledProcessError):
         # retry without OpenMP (always available toolchains vary)
         cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB, _SRC]
-        subprocess.run(cmd, check=True, capture_output=True)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            if os.path.exists(_LIB) and not force:
+                return _LIB        # no compiler: a stale .so beats none
+            raise
     return _LIB
 
 

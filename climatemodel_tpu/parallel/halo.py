@@ -193,7 +193,9 @@ class ShardedShallowWater:
         # step runs the same richtmyer scheme through the jnp stencils
         self.solver = ('richtmyer' if world.numerical_solver
                        == 'richtmyer_pallas' else world.numerical_solver)
-        if world.wind_type not in (None, 'unforced') and \
+        # 'seasonal' never computes the boundary averages this guard
+        # protects (its step branch uses only t), so it is exempt
+        if world.wind_type not in (None, 'unforced', 'seasonal') and \
                 world.boundary_type['y'] == 'periodic':
             raise NotImplementedError(
                 'ghost-corner mask folding for the wind averages is exact '
@@ -435,8 +437,9 @@ class ShardedShallowWater2D:
                 'maccormack reads ghost corners; the periodic-y corner rules '
                 'need diagonal-neighbour halos the 2-D decomposition does not '
                 'exchange — use the 1-D decomposition or another scheme')
-        if world.wind_type not in (None, 'unforced') and \
+        if world.wind_type not in (None, 'unforced', 'seasonal') and \
                 world.boundary_type['y'] == 'periodic':
+            # 'seasonal' is exempt: it uses only t, never the averages
             raise NotImplementedError(
                 'ghost-corner mask folding for the wind averages is exact '
                 'only for walls-y')

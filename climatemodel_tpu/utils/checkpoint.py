@@ -58,7 +58,11 @@ def load_pytree(path, template, backend='npz'):
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if len(t_leaves) != n:
         raise ValueError(f'template has {len(t_leaves)} leaves, file has {n}')
-    leaves = [np.asarray(data[f'leaf_{i}'], dtype=np.asarray(t).dtype)
+    # read the dtype without gathering device-resident template leaves
+    # (np.asarray(t) would device_get every leaf — a full transfer + tunnel
+    # sync each on axon; r04 review finding)
+    dt = lambda t: t.dtype if hasattr(t, 'dtype') else np.asarray(t).dtype
+    leaves = [np.asarray(data[f'leaf_{i}'], dtype=dt(t))
               for i, t in enumerate(t_leaves)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
