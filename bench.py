@@ -21,6 +21,7 @@ chips are visible (one, under axon) and reports absolute numbers.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -845,7 +846,16 @@ def _main_inner():
     # record; config_wall_s records each config's total wall INCLUDING
     # compiles, so future rounds can see where bench time goes
     walls = {}
-    for key, fn in (_smoke_configs() if smoke else _full_configs()):
+    only = [a.split('=', 1)[1] for a in sys.argv[1:]
+            if a.startswith('--only=')]
+    configs = _smoke_configs() if smoke else _full_configs()
+    if only:
+        # quick partial re-runs (e.g. right after the tunnel recovers):
+        # python bench.py --only=grey_rce --only=rce_convective
+        configs = [(k, f) for k, f in configs
+                   if any(sub in k for sub in only)]
+        extra['only'] = only
+    for key, fn in configs:
         t0 = time.perf_counter()
         try:
             extra[key] = fn()
