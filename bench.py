@@ -26,8 +26,14 @@ import time
 
 import numpy as np
 
-# keep the preset platform (axon TPU when available); fall back silently to CPU
+# keep the preset platform (axon TPU when available); fall back silently to
+# CPU.  An EXPLICIT JAX_PLATFORMS=cpu must actually bench the CPU: plugin
+# backends ignore the env var alone, so mirror it into jax.config before
+# any jax use (utils/platform.honor_platform_env inlined here — bench must
+# set the config before importing the package triggers jax)
 import jax
+if os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 import jax.numpy as jnp
 
 # Persistent client-side compilation cache: serialized executables land in a
@@ -213,8 +219,9 @@ def bench_real_gas():
         out = _real_gas_evolve(*args)
         _sync(out[0].T)
         wall = min(wall, time.perf_counter() - t0)
-    steps = int(out[1].steps)
-    days = float(out[0].t) / 86400.0
+    steps_np, t_np = jax.device_get((out[1].steps, out[0].t))  # one pull
+    steps = int(steps_np)
+    days = float(t_np) / 86400.0
     return {'steps_per_sec': steps / wall, 'model_days_per_sec': days / wall,
             'nz': gas.nz, 'steps': steps, 'wall_s': wall}
 
@@ -244,16 +251,19 @@ def bench_real_gas_earth(n_nu_bands=200):
         out = _real_gas_evolve(*args, t_end=20.0)
         _sync(out[0].T)
         wall = min(wall, time.perf_counter() - t0)
-    steps = int(out[1].steps)
-    days = float(out[0].t) / 86400.0
+    # one batched pull (each separate sync is a tunnel round trip)
+    steps_np, t_np, eqb, tout, failed, nan = jax.device_get(
+        (out[1].steps, out[0].t, out[1].equilibrium, out[1].timed_out,
+         out[1].failed, out[1].nan))
+    steps = int(steps_np)
+    days = float(t_np) / 86400.0
     n_lw = int(gas.band_arrays.idx.shape[0])
     res = {'steps_per_sec': steps / wall, 'model_days_per_sec': days / wall,
            'nz': gas.nz, 'n_nu_bands': n_nu_bands, 'n_lw_bands': n_lw,
            'steps': steps, 'wall_s': wall, 'ms_per_step': 1e3 * wall / steps,
            # the throughput number is only meaningful for a healthy march
-           'equilibrium': bool(out[1].equilibrium),
-           'timed_out': bool(out[1].timed_out),
-           'failed': bool(out[1].failed), 'nan': bool(out[1].nan)}
+           'equilibrium': bool(eqb), 'timed_out': bool(tout),
+           'failed': bool(failed), 'nan': bool(nan)}
     # chunked-exit variant (check_every=4): the same march with the exit
     # statistics every 4th step — ~15-20% on this launch-bound column
     out = _real_gas_evolve(*args, t_end=20.0, check_every=4)
@@ -264,11 +274,11 @@ def bench_real_gas_earth(n_nu_bands=200):
         out = _real_gas_evolve(*args, t_end=20.0, check_every=4)
         _sync(out[0].T)
         wall = min(wall, time.perf_counter() - t0)
-    steps = int(out[1].steps)
+    steps_np, eqb = jax.device_get((out[1].steps, out[1].equilibrium))
+    steps = int(steps_np)
     res['check_every_4'] = {
         'steps_per_sec': steps / wall, 'steps': steps, 'wall_s': wall,
-        'ms_per_step': 1e3 * wall / steps,
-        'equilibrium': bool(out[1].equilibrium)}
+        'ms_per_step': 1e3 * wall / steps, 'equilibrium': bool(eqb)}
     return res
 
 
@@ -366,14 +376,13 @@ def bench_real_gas_hires(nz=400, n_nu_bands=200, max_steps=500):
 
 def _thermosphere_world(nz=150):
     # fixed nz (the 'auto' thermosphere grid is ~600 levels; the march
-    # compiles/runs long enough to trip the axon execution watchdog)
-    from climatemodel_tpu.constants import p_surface_earth
+    # compiles/runs long enough to trip the axon execution watchdog).
+    # The tau config comes from the CLI registry — ONE transcription of the
+    # reference experiment block (radiation_script.py:32-36), shared with
+    # tests/tools
+    from climatemodel_tpu.cli import grey_world_kwargs
     from climatemodel_tpu.models.grey import GreyGas
-    return GreyGas(nz=nz, ny=1,
-                   tau_lw_func='scale_height_and_peak_in_atmosphere',
-                   tau_lw_func_args=[51000, 4, 100, 600, 0.1],
-                   tau_sw_func='scale_height_and_peak_in_atmosphere',
-                   tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002])
+    return GreyGas(nz=nz, ny=1, **grey_world_kwargs('thermosphere'))
 
 
 def bench_grey_single_column(nz=150):

@@ -224,6 +224,10 @@ def _cmd_grey(args):
 def _cmd_real_gas(args):
     from .models.real_gas import RealGas
     from .spectral import humidity
+    if args.find_tg and not args.sweep:
+        # validate BEFORE the (expensive) table + band construction
+        raise SystemExit('--find-tg requires --sweep (the vectorised solve '
+                         'runs over ensemble members)')
     if args.molecules == ['earth']:
         from .spectral import earth_tables
         earth_tables.ensure_earth_tables()
@@ -236,9 +240,6 @@ def _cmd_real_gas(args):
                       q_funcs_args={'single_line': ()}, T_g=265.0)
     gas = RealGas(nz='auto' if args.nz == 'auto' else int(args.nz), ny=1,
                   n_nu_bands=args.n_bands, **kw)
-    if args.find_tg and not args.sweep:
-        raise SystemExit('--find-tg requires --sweep (the vectorised solve '
-                         'runs over ensemble members)')
     if args.sweep:
         # vmapped insolation sweep (one compiled march for all members);
         # optionally solve each member's balanced T_g first
@@ -351,6 +352,14 @@ def _cmd_ice_albedo(args):
     print(json.dumps({
         'F_values': [float(v) for v in sweep.changing_param_values],
         'ice_latitude': [float(v) for v in ice_latitude]}))
+    if args.out:
+        # the sweep has no single world state; save the sweep arrays
+        import numpy as _np
+        out = args.out if args.out.endswith('.npz') else args.out + '.npz'
+        _np.savez(out, F_values=_np.asarray(sweep.changing_param_values),
+                  ice_latitude=_np.asarray(ice_latitude),
+                  T_surface=_np.asarray(T_surface))
+        print(f'sweep -> {out}')
     if args.plot:
         import matplotlib
         matplotlib.use('Agg')

@@ -80,6 +80,7 @@ def _load():
 
 
 def available() -> bool:
+    """True iff the compiled C++ backend built (or shipped) and loaded."""
     return _load() is not None
 
 

@@ -47,7 +47,12 @@ def probe_backend(timeout=150, env_override='CLIMATEMODEL_TPU_BENCH_PROBE_S'):
     import sys
     if env_override:
         timeout = float(os.environ.get(env_override, timeout))
-    code = ('import jax, json; d = jax.devices(); '
+    # the child honors JAX_PLATFORMS the same way the parent does — an
+    # explicit JAX_PLATFORMS=cpu must probe the CPU, not the preset plugin
+    code = ('import os, jax, json; '
+            'p = os.environ.get("JAX_PLATFORMS"); '
+            'p and jax.config.update("jax_platforms", p); '
+            'd = jax.devices(); '
             'print(json.dumps({"platform": d[0].platform, '
             '"n_devices": len(d), "device": str(d[0])}))')
     try:

@@ -43,11 +43,8 @@ N_STEPS = 300
 
 
 def world():
-    return GreyGas(nz=NZ, ny=1,
-                   tau_lw_func='scale_height_and_peak_in_atmosphere',
-                   tau_lw_func_args=[51000, 4, 100, 600, 0.1],
-                   tau_sw_func='scale_height_and_peak_in_atmosphere',
-                   tau_sw_func_args=[p_surface_earth, 0.12, 100, 20, 0.002])
+    from climatemodel_tpu.cli import grey_world_kwargs
+    return GreyGas(nz=NZ, ny=1, **grey_world_kwargs('thermosphere'))
 
 
 def best_of(fn, n=5):
@@ -118,8 +115,6 @@ def seg_scatter_only(nz):
 
 def main():
     print(f'backend={jax.default_backend()} nz={NZ} steps={N_STEPS}')
-    w = world()
-    rows = []
 
     for name, fn in (
             ('fori_rad', fori_march(world())),
@@ -133,7 +128,6 @@ def main():
             ('adaptive_conv_KERNEL',
              adaptive_march(world(), conv='reference_kernel'))):
         wall = best_of(fn)
-        rows.append((name, 1e3 * wall / N_STEPS))
         print(f'{name:20s} {1e3 * wall / N_STEPS:8.4f} ms/step')
 
     # operator-only calls on stable vs unstable profiles

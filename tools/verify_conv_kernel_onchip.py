@@ -64,17 +64,13 @@ def main():
 
     from climatemodel_tpu.constants import (R_specific, c_p_dry, g,
                                             p_surface_earth)
+    from climatemodel_tpu.cli import grey_world_kwargs
     from climatemodel_tpu.models.grey import GreyGas
     from climatemodel_tpu.ops import convection as cv
     from climatemodel_tpu.ops.pallas_convection import faithful_adjust_lanes
 
     def thermo_world(nz=120):
-        return GreyGas(nz=nz, ny=1,
-                       tau_lw_func='scale_height_and_peak_in_atmosphere',
-                       tau_lw_func_args=[51000, 4, 100, 600, 0.1],
-                       tau_sw_func='scale_height_and_peak_in_atmosphere',
-                       tau_sw_func_args=[p_surface_earth, 0.12, 100, 20,
-                                         0.002])
+        return GreyGas(nz=nz, ny=1, **grey_world_kwargs('thermosphere'))
 
     w0 = thermo_world()
     w0.evolve_to_equilibrium(flux_thresh=1e-1, save=False)
@@ -85,13 +81,24 @@ def main():
     wts = cv._trapz_weights(p)
 
     def xla_batch(T2d, thr):
+        # EAGER on the host CPU backend: (a) eager arithmetic matches the
+        # pinned interpret-mode battery bit-for-bit (jitting re-fuses FMAs
+        # and flips near-marginal decisions — measured 0.07 K on the
+        # marched profile), and (b) no eager dispatch ever crosses the
+        # tunnel (r04 review: the oracle must not cost minutes of ~25 ms
+        # round trips on the chip this script should occupy briefly).
+        p_cpu = jnp.asarray(np.asarray(p))
         return jnp.stack([cv._reference_adjust_single(
-            p, T2d[i], g / c_p_dry, thr[i], p_surface_earth)
+            p_cpu, T2d[i], g / c_p_dry, thr[i], p_surface_earth)
             for i in range(T2d.shape[0])])
+
+    cpu0 = jax.devices('cpu')[0]
 
     def compare(tag, T2d, budget_bitexact=True):
         thr = jnp.median(T2d, axis=1) / 4.0
-        want = jax.device_get(xla_batch(T2d, thr))
+        with jax.default_device(cpu0):
+            want = jax.device_get(xla_batch(jnp.asarray(np.asarray(T2d)),
+                                            jnp.asarray(np.asarray(thr))))
         t0 = time.perf_counter()
         got = faithful_adjust_lanes(T2d, pi, wts, thr, interpret=smoke)
         got.block_until_ready()
