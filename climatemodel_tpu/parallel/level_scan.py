@@ -47,24 +47,40 @@ def _combine(c1, c2):
     return a1 * a2, a2 * b1 + b2
 
 
-def sharded_affine_scan(a, b, x0, mesh, axis_name, reverse=False):
+def sharded_affine_scan(a, b, x0, mesh, axis_name, reverse=False,
+                        batch_axis_name=None):
     """Solve x_{k+1} = a_k x_k + b_k with the level axis (axis 0) sharded.
 
     Mirrors :func:`climatemodel_tpu.ops.two_stream.affine_scan` (same
     signature + mesh): returns ``[n+1, ...]`` with element 0 (or n when
     ``reverse``) equal to ``x0``.  Axis 0 of ``a``/``b`` must divide evenly by
     ``mesh.shape[axis_name]``.
+
+    ``batch_axis_name`` optionally shards axis 1 (the batch/member axis)
+    over a SECOND mesh axis — the composed dp x pp layout: each data-shard
+    of members runs its own carry pipeline over the level axis, and the
+    ppermute hops act within the data slice.  Axis 1 must then divide by
+    ``mesh.shape[batch_axis_name]``.
     """
     n_dev = int(mesh.shape[axis_name])
     n = a.shape[0]
     if n % n_dev:
         raise ValueError(f'level count {n} not divisible by {n_dev} devices')
+    if batch_axis_name is not None:
+        if a.ndim < 2:
+            raise ValueError('batch_axis_name needs a batch axis (a.ndim>=2)')
+        if a.shape[1] % int(mesh.shape[batch_axis_name]):
+            raise ValueError(
+                f'batch {a.shape[1]} not divisible by '
+                f'{mesh.shape[batch_axis_name]} devices')
     if reverse:
         a = jnp.flip(a, axis=0)
         b = jnp.flip(b, axis=0)
 
-    spec_lev = P(axis_name, *(None,) * (a.ndim - 1))
-    spec_rep = P(*(None,) * max(a.ndim - 1, 0)) if a.ndim > 1 else P()
+    rest = ((batch_axis_name,) + (None,) * (a.ndim - 2)
+            if batch_axis_name is not None else (None,) * (a.ndim - 1))
+    spec_lev = P(axis_name, *rest)
+    spec_rep = P(*rest) if a.ndim > 1 else P()
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(spec_lev, spec_lev, spec_rep),
@@ -98,7 +114,7 @@ def sharded_affine_scan(a, b, x0, mesh, axis_name, reverse=False):
 
 
 def lw_flux_level_sharded(T, dtau, up_flux_toa, mesh, axis_name,
-                          surface_first=True):
+                          surface_first=True, batch_axis_name=None):
     """Grey lw up/down fluxes with the LEVEL axis sharded over ``axis_name``
     (pp analogue) — mirrors :func:`ops.two_stream.lw_flux` (which cites
     grey.py:251-275).  Both streams ride one pipelined scan via a trailing
@@ -118,5 +134,6 @@ def lw_flux_level_sharded(T, dtau, up_flux_toa, mesh, axis_name,
     x_toa = jnp.stack([jnp.broadcast_to(up_flux_toa, T.shape[1:]),
                        jnp.zeros(T.shape[1:], T.dtype)], axis=-1)
     flux = sharded_affine_scan(a, b, x_toa, mesh, axis_name,
-                               reverse=surface_first)
+                               reverse=surface_first,
+                               batch_axis_name=batch_axis_name)
     return flux[..., 0], flux[..., 1]

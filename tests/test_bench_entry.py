@@ -124,3 +124,24 @@ def test_cpu_only_configured_env(plat, expected, monkeypatch):
     monkeypatch.setattr(g, 'jax', fake)
     monkeypatch.setenv('JAX_PLATFORMS', plat)
     assert g._cpu_only_configured() is expected
+
+
+def test_bench_only_selection_and_cpu_mirror():
+    """--only=substring restricts the configs (stamped into the JSON), and an
+    explicit JAX_PLATFORMS=cpu run benches the CPU directly (platform
+    mirrored into jax.config, no backend_error)."""
+    env = _no_backend_env()
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['CLIMATEMODEL_TPU_BENCH_TINY'] = '1'
+    env['CLIMATEMODEL_TPU_BENCH_SMOKE'] = '1'
+    env['CLIMATEMODEL_TPU_BENCH_PROBE_S'] = '60'
+    proc = subprocess.run(
+        [sys.executable, 'bench.py', '--only=grey_rce_single'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    extra = rec['extra']
+    assert extra['platform'] == 'cpu'
+    assert 'backend_error' not in extra, extra.get('backend_error')
+    assert extra['only'] == ['grey_rce_single']
+    assert list(extra['config_wall_s']) == ['grey_rce_single_column']

@@ -240,3 +240,30 @@ def test_real_gas_composed_dp_x_spectral():
     mesh = make_mesh(('data', 'x'), shape=(2, 4), devices=jax.devices()[:8])
     steps, err = graft._real_gas_dp_x_spectral(mesh)
     assert steps > 0
+
+
+def test_lw_flux_composed_dp_x_pp():
+    """COMPOSED dp x pp: the lw flux recurrence with the LEVEL axis pipelined
+    over one mesh axis (block scans + ppermute carry hops) AND the member
+    axis data-parallel over the other — each data-shard of members runs its
+    own carry pipeline."""
+    from climatemodel_tpu.ops.two_stream import lw_flux
+    from climatemodel_tpu.parallel.level_scan import lw_flux_level_sharded
+    rng = np.random.default_rng(3)
+    n_lev, n_mem = 48, 6
+    T = jax.numpy.asarray(200.0 + 100.0 * rng.random((n_lev, n_mem)))
+    dtau = jax.numpy.asarray(0.2 * rng.random((n_lev, n_mem)))
+    toa = jax.numpy.asarray(rng.uniform(200.0, 300.0, (n_mem,)))
+    mesh = make_mesh(('data', 'lev'), shape=(2, 4),
+                     devices=jax.devices()[:8])
+    up_s, down_s = lw_flux_level_sharded(T, dtau, toa, mesh, 'lev',
+                                         batch_axis_name='data')
+    up, down = lw_flux(T, dtau, toa)
+    np.testing.assert_allclose(np.asarray(up_s), np.asarray(up),
+                               rtol=1e-11, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(down_s), np.asarray(down),
+                               rtol=1e-11, atol=1e-9)
+    # uneven member count must be rejected, not silently replicated
+    with pytest.raises(ValueError):
+        lw_flux_level_sharded(T[:, :5], dtau[:, :5], toa[:5], mesh, 'lev',
+                              batch_axis_name='data')
