@@ -150,3 +150,26 @@ def test_evolve_change_compos():
         flux_thresh=1e-2, t_end=0.5)
     assert mine.T_g == 265.0
     assert len(data['t']) >= 3
+
+
+def test_save_path_honors_chunk_steps():
+    """The save=True snapshot march with an explicit chunk_steps (bounding
+    single XLA executions, like grey.py:487) must reach the same endpoint
+    and record the same per-step trajectory as the default 256-chunk (r04
+    review: chunk_steps was silently ignored on this path)."""
+    kw = dict(nz=24, ny=1, molecule_names=['single_line'], T_g=260.0,
+              q_funcs={'single_line': humidity.co2},
+              q_funcs_args={'single_line': ()}, delta_temp_change=0.1,
+              n_nu_bands=30)
+    runs = {}
+    for chunk in (None, 7):
+        gas = RealGas(**kw)
+        data = gas.evolve_to_equilibrium(flux_thresh=2.0, save=True,
+                                         chunk_steps=chunk)
+        runs[chunk] = (np.asarray(gas.T), np.asarray(data['t']),
+                       np.stack([np.asarray(Ti) for Ti in data['T']]))
+    T_a, t_a, traj_a = runs[None]
+    T_b, t_b, traj_b = runs[7]
+    assert len(t_a) == len(t_b) and len(t_a) > 3
+    np.testing.assert_allclose(T_a, T_b, atol=1e-9)
+    np.testing.assert_allclose(traj_a, traj_b, atol=1e-9)
