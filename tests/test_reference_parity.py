@@ -286,3 +286,31 @@ def test_albedo_mod_frozen_at_construction_like_reference():
                  tau_lw_func_args=[100000.0, 4.0])
     w2.albedo[2] = 0.6
     assert float(np.asarray(w2.albedo_mod)[2]) == 0.6
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_trajectory_parity_fuzzed_configs(seed):
+    """Generalization beyond the pinned worlds: RANDOM scale_height tau
+    configs (surface optical depth x0.5-2, sharpness x0.5-1.5; odd seeds
+    add an sw absorber, exercising albedo_mod and the sw flux path) must
+    track the executed reference step for step over the first 40 steps.
+    The peaked 5-arg family is NOT fuzzed: the reference's own grid builder
+    crashes on perturbed peak configs (grey.py:189-191 empty local-maxima
+    set / nPointsPerSet) — a reference fragility, not a parity target."""
+    rng = np.random.default_rng(100 + seed)
+    lw_args = (float(0.22 * p_surface_earth * rng.uniform(0.5, 2.0)),
+               float(4.0 * rng.uniform(0.5, 1.5)))
+    kw = dict(lw_args=lw_args)
+    if seed % 2 == 1:
+        kw.update(sw_name='scale_height',
+                  sw_args=(float(0.08 * p_surface_earth
+                                 * rng.uniform(0.5, 2.0)),
+                           float(2.0 * rng.uniform(0.5, 1.5))))
+    ref, mine = _make_pair(nz=40, **kw)
+    t_r = t_m = 0.0
+    for i in range(40):
+        t_r, d_r = ref.take_time_step(t_r)
+        t_m, d_m = mine.take_time_step(t_m)
+        assert np.isclose(ref.time_step_info['dt'],
+                          float(mine.state.tsi.dt), rtol=1e-5), (seed, i)
+    assert np.abs(ref.T - mine.T).max() < 1e-3, seed
