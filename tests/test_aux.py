@@ -518,3 +518,35 @@ def test_percentile_topk_propagates_nan():
             got = float(_percentile_topk(jnp.asarray(x), pct))
             assert np.isnan(got), (n, pct, got)
             assert np.isnan(float(jnp.percentile(jnp.asarray(x), pct)))
+
+
+def test_animation_truncation_any_latitude_semantics():
+    """ny>1 frame truncation follows the reference formula exactly
+    (animation.py:113-122): the 99th percentile is taken over the LEVEL
+    axis per (frame, latitude), and a frame counts as converged when ANY
+    latitude's change is small (r04 review parity fix — a flattened
+    percentile required joint smallness).  Construct frames where latitude
+    0 converges at frame 6 while latitude 1 keeps changing: the selected
+    frames must stop at the reference's max_index, not run to the end."""
+    w = GreyGas(nz=20, ny=2, tau_lw_func='scale_height',
+                tau_lw_func_args=[0.22 * p_surface_earth, 3.0])
+    nz_c = w.T.shape[0]
+    n_t = 40
+    rng = np.random.default_rng(0)
+    T_arr = []
+    for i in range(n_t):
+        T = np.full((nz_c, 2), 250.0)
+        # latitude 0: changes shrink below 0.01 K after frame 6
+        T[:, 0] += (1.0 if i < 6 else 0.001) * i + rng.random(nz_c) * 1e-4
+        T[:, 1] += 5.0 * i                    # latitude 1: never converges
+        T_arr.append(T)
+    from climatemodel_tpu.diagnostics.animation import Animate
+    anim = Animate(w, T_arr, list(range(n_t)), nPlotFrames=10,
+                   fract_frames_at_start=0.0)
+    # reference formula, computed independently
+    diffs = np.abs(np.diff(np.stack(T_arr), axis=0))
+    small = np.where(np.percentile(diffs, 99, axis=1) < 0.01)[0]
+    sep = np.where(np.ediff1d(small) > 1)[0]
+    max_index = (small[max(sep) + 1] + 1) if len(sep) else (small[0] + 1)
+    assert len(small) > 0 and max_index < n_t - 1
+    assert anim.t_plot.max() == max_index
