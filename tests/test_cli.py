@@ -183,12 +183,16 @@ def test_examples_honor_platform_env():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scripts = sorted(glob.glob(os.path.join(root, 'examples', '*.py')))
     assert scripts
+    import re
     for path in scripts:
         src = open(path).read()
-        assert 'honor_platform_env()' in src, os.path.basename(path)
+        # a REAL top-level call statement, not a mention in a comment or
+        # docstring
+        m = re.search(r'^honor_platform_env\(\)', src, re.MULTILINE)
+        assert m, os.path.basename(path)
         # and the call must come before the first climatemodel/jax import
         # that could trigger backend init (any model/ops import)
-        call = src.index('honor_platform_env()')
+        call = m.start()
         for needle in ('from climatemodel_tpu.models', 'import jax',
                        'from climatemodel_tpu.diagnostics'):
             pos = src.find(needle)
@@ -210,8 +214,10 @@ def test_honor_platform_env_helper(tmp_path):
         "except RuntimeError:\n"
         "    print('failed fast')\n"
     )
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                          text=True, timeout=120)
+                          text=True, timeout=120, cwd=repo)
     assert proc.returncode == 0, proc.stderr
     assert 'failed fast' in proc.stdout
 
