@@ -104,18 +104,18 @@ def _reference_adjust_core(pi, w, T, delta_T_thresh, max_groups=None,
         max_groups = nz // 2 + 1
     if max_outer is None:
         max_outer = 4 * nz
-    # theta via a hoisted reciprocal (T * inv_pi, not T / pi): bit-identical
-    # decisions with the Pallas lane kernel (ops/pallas_convection.py), which
-    # cannot divide exactly (Mosaic lowers division to a ~6e-6-relative fast
-    # reciprocal) — marginal instability decisions at the eps-scaled f32
-    # tolerance would otherwise diverge between the two paths.  vs the
-    # reference's T / pi this moves theta by <= 1 ulp (well inside the
-    # operator-parity tolerances).
-    inv_pi = 1.0 / pi
+    # theta MUST be T / pi, exactly like the reference
+    # (convective_adjustment.py:58-59).  A hoisted reciprocal (T * (1/pi)) to
+    # bit-match a Pallas lane kernel regressed the on-chip march ~145x
+    # (283 -> 1513 steps, 0.86 -> 23 ms/step on v5e, bisected by the r04
+    # judge): the extra ulp on theta at the eps-scaled f32 tolerance flips
+    # marginal instability decisions and re-triggers the rounding war that
+    # _instability_tol exists to prevent.  The kernel was itself miscompiled
+    # on chip (0.545 K endpoint error) and has been retired — see PERF.md.
     idx = jnp.arange(nz)
 
     def unstable_mask(T, ignored):
-        theta = T * inv_pi
+        theta = T / pi
         d = theta[1:] - theta[:-1]
         d_ext = jnp.concatenate([d, d[-1:]])     # duplicated last diff (line 60-61)
         return (d_ext < -_instability_tol(theta)) & ~ignored
@@ -124,7 +124,7 @@ def _reference_adjust_core(pi, w, T, delta_T_thresh, max_groups=None,
         T, ignored, gid = carry
         in_g = gid == gi
         any_g = jnp.any(in_g)
-        theta = T * inv_pi
+        theta = T / pi
         grp_first = jnp.argmax(in_g)
         grp_last = nz - 1 - jnp.argmax(jnp.flip(in_g))
         # 'lower' candidate: flatten [start .. lo_anchor] at theta[lo_anchor]
@@ -194,72 +194,19 @@ def _reference_adjust_core(pi, w, T, delta_T_thresh, max_groups=None,
     return T_out
 
 
-# Batched faithful executor with a custom vmap rule, mirroring _iso_rows:
-# nested vmaps FLATTEN to one leading row axis so TPU batches land on the
-# Pallas lane kernel (ops/pallas_convection.py) in one launch.  The kernel is
-# OPT-IN until verified on the real chip (interpret-mode correctness does not
-# guarantee Mosaic-compiled correctness — CLAUDE.md's Hillis-Steele incident):
-# set CLIMATEMODEL_TPU_CONV_REF_KERNEL=1 to route TPU f32 batches through it.
-def _ref_kernel_enabled():
-    import os
-    return os.environ.get('CLIMATEMODEL_TPU_CONV_REF_KERNEL', '0') == '1'
-
-
-def _make_ref_rows(use_kernel):
-    """Build a batched faithful executor ([b, n] columns -> adjustments).
-
-    ``use_kernel`` decides whether TPU f32 batches route to the Pallas lane
-    kernel: ``'env'`` consults the CLIMATEMODEL_TPU_CONV_REF_KERNEL gate at
-    trace time (the default ``method='reference'`` executor), ``True``
-    always routes (``method='reference_kernel'``).  Either way the platform
-    branch is resolved per EXECUTING platform via lax.platform_dependent —
-    a CPU-placed computation in a TPU-default process must never trace the
-    Mosaic kernel onto CPU (the r03 advisor's real_gas bug class)."""
-
-    def xla(T2, pi, w, th):
-        return jax.vmap(
-            lambda Tc, t: _reference_adjust_core(pi, w, Tc, t))(T2, th)
-
-    @jax.custom_batching.custom_vmap
-    def rows(theta_rows, pi, w, thresh):
-        enabled = use_kernel is True or (use_kernel == 'env'
-                                         and _ref_kernel_enabled())
-        if theta_rows.dtype == jnp.float32 and enabled:
-            from .pallas_convection import faithful_adjust_lanes
-            return jax.lax.platform_dependent(
-                theta_rows, pi, w, thresh,
-                tpu=lambda T2, p, ww, th: faithful_adjust_lanes(T2, p, ww,
-                                                                th),
-                default=xla)
-        return xla(theta_rows, pi, w, thresh)
-
-    @rows.def_vmap
-    def _rule(axis_size, in_batched, T3, pi, w, thresh):
-        T_b, pi_b, w_b, th_b = in_batched
-        if pi_b or w_b:
-            # per-member grids: no shared-grid kernel — plain nested vmap
-            out = jax.vmap(lambda T2, p2, w2, t2: jax.vmap(
-                lambda Tc, th: _reference_adjust_core(p2, w2, Tc, th))(T2,
-                                                                       t2),
-                in_axes=(0 if T_b else None, 0 if pi_b else None,
-                         0 if w_b else None, 0 if th_b else None))(T3, pi, w,
-                                                                   thresh)
-            return out, True
-        if not T_b:
-            T3 = jnp.broadcast_to(T3[None], (axis_size,) + T3.shape)
-        if not th_b:
-            thresh = jnp.broadcast_to(thresh[None],
-                                      (axis_size,) + thresh.shape)
-        b2, b, n = T3.shape
-        out = rows(T3.reshape(b2 * b, n), pi, w,
-                   thresh.reshape(b2 * b))         # recurse: merge batches
-        return out.reshape(b2, b, n), True
-
-    return rows
-
-
-_ref_rows = _make_ref_rows('env')
-_ref_rows_kernel = _make_ref_rows(True)
+# Batched faithful executor.  A Pallas lane-kernel variant of this executor
+# (whole nested group-blend iteration in one Mosaic launch) was built in r04
+# and RETIRED in r05: compiled output diverged 0.545 K from its own XLA core
+# on the real chip (interpret mode was bit-exact — another instance of the
+# Hillis-Steele class of Mosaic miscompiles), and the hoisted-reciprocal
+# theta it required regressed the XLA path ~145x on chip.  Negative result
+# recorded in PERF.md; the XLA while-loop core below is the fast path.
+def _ref_rows(theta_rows, pi, w, thresh):
+    """[b, n] batch of columns -> [b, n] faithful adjustments (shared pi/w
+    grid factors; per-column delta_T_thresh)."""
+    return jax.vmap(
+        lambda Tc, th: _reference_adjust_core(pi, w, Tc, th))(theta_rows,
+                                                              thresh)
 
 
 # --------------------------------------------------------------------------
@@ -374,7 +321,7 @@ def convective_adjustment_single(p, T, lapse_rate=g / c_p_dry,
                                  method='reference'):
     """Adjust one column (p descending, surface first) to convective stability
     dT/dz >= -lapse_rate, conserving enthalpy -integral(T dp)."""
-    if method in ('reference', 'reference_kernel'):
+    if method == 'reference':
         return _reference_adjust_single(p, T, lapse_rate, delta_T_thresh,
                                         p_reference)
     elif method == 'isotonic':
@@ -409,23 +356,15 @@ def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
     if not descending:
         p = jnp.flip(p)
         T = jnp.flip(T, axis=0)
-    if method in ('reference', 'reference_kernel'):
-        # batched executor: columns on rows; on TPU f32 the whole nested-loop
-        # iteration runs as ONE Pallas launch with the batch on lanes instead
-        # of dozens of tiny sequenced reductions per column.  'reference'
-        # consults the CLIMATEMODEL_TPU_CONV_REF_KERNEL gate (off until the
-        # kernel is verified compiled on the real chip); 'reference_kernel'
-        # requests the kernel explicitly — same physics, same faithful
-        # algorithm, only the executor differs (off-TPU both fall back to
-        # the XLA core via lax.platform_dependent).
+    if method == 'reference':
+        # batched executor: columns on rows, shared grid factors hoisted out
         alpha = R_specific * lapse_rate / g
         pi = (p / p_reference) ** alpha
         w = _trapz_weights(p)
         thresh = (jnp.median(T, axis=0) / 4.0 if delta_T_thresh is None
                   else jnp.broadcast_to(jnp.asarray(delta_T_thresh, T.dtype),
                                         (T.shape[1],)))
-        rows = _ref_rows_kernel if method == 'reference_kernel' else _ref_rows
-        T_new = rows(T.T, pi, w, thresh).T
+        T_new = _ref_rows(T.T, pi, w, thresh).T
     else:
         adjust = jax.vmap(
             lambda Tc: convective_adjustment_single(p, Tc, lapse_rate,

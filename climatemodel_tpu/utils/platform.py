@@ -38,9 +38,8 @@ def probe_backend(timeout=150, env_override='CLIMATEMODEL_TPU_BENCH_PROBE_S'):
     subprocess is the only way to bound it.  ``env_override`` names an env
     var whose value (seconds) overrides ``timeout``.
 
-    Shared by bench.py, __graft_entry__.py and
-    tools/verify_conv_kernel_onchip.py so wedged-tunnel semantics can't
-    drift between the driver entry points.
+    Shared by bench.py and __graft_entry__.py so wedged-tunnel semantics
+    can't drift between the driver entry points.
     """
     import json
     import subprocess

@@ -62,8 +62,15 @@ def test_bench_emits_json_and_rc0_without_backend():
     assert 'backend_error' in extra, extra
     assert extra['smoke'] is True
     assert extra['platform'] == 'cpu'
+    # the stdout line must stay COMPACT: the driver records only a ~2k-char
+    # tail of stdout, and BENCH_r04's full-extra line was truncated to
+    # parsed=null (r04 verdict item 9).  Detail lives in BENCH_FULL.json.
+    assert len(line) < 2000, f'stdout record too big ({len(line)} chars)'
     # the tiny config actually ran and produced numbers on the CPU fallback
-    col = extra['grey_rce_single_column']
+    assert extra['grey_rce_single_column'] > 0
+    with open(os.path.join(REPO, extra['full_record'])) as f:
+        full = json.load(f)
+    col = full['extra']['grey_rce_single_column']
     assert col['per_step']['model_days_per_sec'] > 0
 
 

@@ -124,9 +124,7 @@ def main():
                                            with_delta=True)),
             ('adaptive_rad', adaptive_march(world())),
             ('adaptive_conv_ref', adaptive_march(world(), conv='reference')),
-            ('adaptive_conv_iso', adaptive_march(world(), conv='isotonic')),
-            ('adaptive_conv_KERNEL',
-             adaptive_march(world(), conv='reference_kernel'))):
+            ('adaptive_conv_iso', adaptive_march(world(), conv='isotonic'))):
         wall = best_of(fn)
         print(f'{name:20s} {1e3 * wall / N_STEPS:8.4f} ms/step')
 
