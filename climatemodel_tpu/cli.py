@@ -189,7 +189,8 @@ def _cmd_grey(args):
                                 conv_method=args.conv_method,
                                 verbose=args.verbose,
                                 check_every=args.check_every,
-                                dip_memory=args.dip_memory)
+                                dip_memory=args.dip_memory,
+                                debug=args.debug)
     info = world._equilibrium_info
     out = {'world': args.world, 'nz': world.nz, 'ny': args.ny,
            'steps': int(info.steps),
@@ -291,7 +292,8 @@ def _cmd_real_gas(args):
     gas.evolve_to_equilibrium(flux_thresh=args.flux_thresh, save=False,
                               verbose=args.verbose,
                               check_every=args.check_every,
-                              dip_memory=args.dip_memory)
+                              dip_memory=args.dip_memory,
+                              debug=args.debug)
     print(json.dumps({'molecules': kw['molecule_names'], 'nz': gas.nz,
                       'n_bands': args.n_bands, 'T_g': float(gas.T_g),
                       'T_surface_air': float(gas.T[-1, 0]),
@@ -409,6 +411,11 @@ def main(argv=None):
                         'everywhere) or the parallel isotonic variational '
                         'form (~2.6x faster per step, different fixed '
                         'points)')
+    p.add_argument('--debug', action='store_true',
+                   help='checkify-instrumented march (SURVEY §5 sanitizer '
+                        'row): a NaN/negative-T failure raises with the '
+                        'first failing level/interface, step and simulated '
+                        'time instead of a location-free abort')
     p.add_argument('--verbose', action='store_true')
     _add_common(p)
     p.set_defaults(fn=_cmd_grey)
@@ -435,6 +442,11 @@ def main(argv=None):
                    help='with --check-every N: per-step exit statistics with '
                         'the carry frozen at the first stop event — '
                         'bit-identical to the per-step cadence')
+    p.add_argument('--debug', action='store_true',
+                   help='checkify-instrumented march (SURVEY §5 sanitizer '
+                        'row): a NaN/negative-T failure raises with the '
+                        'first failing level/interface, step and simulated '
+                        'time instead of a location-free abort')
     p.add_argument('--verbose', action='store_true')
     _add_common(p)
     p.set_defaults(fn=_cmd_real_gas)

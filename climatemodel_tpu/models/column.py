@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 from jax import lax
+from jax.experimental import checkify
 
 from ..constants import g, c_p_dry, sigma, SECONDS_PER_DAY, SECONDS_PER_YEAR
 from ..ops.convection import convective_adjustment
@@ -327,7 +328,7 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           use_delta_exit: bool = True,
                           conv_method: str = 'reference', i0=0,
                           final_reset: bool = True, check_every: int = 1,
-                          dip_memory: bool = False):
+                          dip_memory: bool = False, debug: bool = False):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
@@ -373,8 +374,22 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         the while-loop cond/carry machinery over K steps while keeping the
         per-step percentile; relative to plain ``check_every=K`` it pays the
         percentile back in exchange for exactness.
+    :param debug: static; instrument every march step with
+        :mod:`jax.experimental.checkify` user checks that record WHERE a
+        failure first appeared (first non-finite net-flux interface, first
+        non-finite temperature level, first negative-temperature level, plus
+        the step count and simulated time) instead of only freezing the
+        march via the sentinel flags (SURVEY §5 sanitizer row).  The caller
+        must run the march under :func:`checkify.checkify` (the model-layer
+        ``evolve_to_equilibrium(debug=True)`` entry points do) and throw the
+        returned error on the host.  Numerics are unchanged — a healthy
+        debug march is bit-identical to a plain one.  Requires per-step
+        checking (``check_every=1``): the failing step IS the payload.
     :return: (final ColumnState, EquilibriumInfo)
     """
+    if debug and check_every > 1:
+        raise ValueError('debug=True needs per-step checks (check_every=1): '
+                         'the failing step/level is the whole point')
     dtype = state.T.dtype
     t0 = state.t
     ft0 = jnp.asarray(flux_thresh, dtype)
@@ -387,7 +402,7 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                        net_flux_percentile=net_flux_percentile,
                        p_descending=p_descending, use_delta_exit=use_delta_exit,
                        conv_method=conv_method, check_every=check_every,
-                       dip_memory=dip_memory, max_steps=max_steps)
+                       dip_memory=dip_memory, max_steps=max_steps, debug=debug)
 
     def cond(carry):
         _st, _ft, _delta, i, eqb, failed, nan, tout = carry
@@ -422,7 +437,8 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 convective_adjust, t_end, conv_thresh, conv_t_multiplier,
                 net_flux_thresh, net_flux_percentile, p_descending,
                 use_delta_exit, conv_method, check_every: int = 1,
-                dip_memory: bool = False, max_steps=None):
+                dip_memory: bool = False, max_steps=None,
+                debug: bool = False):
     """The shared march step over carry (state, ft, delta, i, eqb, failed,
     nan, timed_out) used by both the fused while_loop and the snapshot scan.
 
@@ -524,6 +540,32 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
             st, i, failed, nan = lax.fori_loop(
                 0, int(check_every) - 1, reduced, (st, i, failed, nan))
         st, net, delta = step(st, compute_delta=True)
+        if debug:
+            # checkify user checks (SURVEY §5 sanitizer row): locate the
+            # first failure instead of only freezing on it.  Order matters —
+            # checkify keeps the FIRST error, and a non-finite net flux is
+            # the usual cause of the non-finite temperature one step later.
+            bad_net = ~jnp.isfinite(net).ravel()
+            checkify.check(
+                ~jnp.any(bad_net),
+                'march debug: non-finite net flux first at flat interface '
+                '{lev} (step {i}, t={t} s) — the radiation operator '
+                'produced NaN/inf from this state',
+                lev=jnp.argmax(bad_net), i=i + 1, t=st.t)
+            bad_T = ~jnp.isfinite(st.T).ravel()
+            checkify.check(
+                ~jnp.any(bad_T),
+                'march debug: non-finite temperature first at flat level '
+                '{lev} (step {i}, t={t} s)',
+                lev=jnp.argmax(bad_T), i=i + 1, t=st.t)
+            T_flat = st.T.ravel()
+            checkify.check(
+                jnp.min(T_flat) >= 0,
+                'march debug: temperature {tmin} K below zero first at flat '
+                'level {lev} (step {i}, t={t} s) — the reference aborts '
+                'here too (base.py:319-320)',
+                tmin=jnp.min(T_flat), lev=jnp.argmin(T_flat), i=i + 1,
+                t=st.t)
         # second iteration tightens the threshold (base.py:315-317); in
         # chunked-exit mode i==1 only occurs in the fully-checked two-step
         # prefix (evolve_to_equilibrium), which uses a check_every=1 body

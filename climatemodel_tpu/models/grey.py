@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from jax.experimental import checkify
 
 from ..constants import (F_sun, SECONDS_PER_YEAR, g, p_surface_earth,
                          p_toa_earth, sigma)
@@ -89,16 +90,13 @@ def _grey_step(state: ColumnState, forcing: GreyForcing, p_interface, p_centre_c
 
 # max_steps stays dynamic (it's only compared in the while cond): the chunked
 # march passes a growing i0+chunk_steps and must not retrace per chunk
-@functools.partial(jax.jit, static_argnames=('convective_adjust',
-                                             'net_flux_percentile',
-                                             'conv_method', 'final_reset',
-                                             'check_every', 'dip_memory'))
-def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
-                 p_centre_col, flux_thresh, convective_adjust=False, t_end=4.0,
-                 conv_thresh=1e-5, conv_t_multiplier=5.0, net_flux_thresh=1e-7,
-                 net_flux_percentile=95, max_steps=500_000,
-                 conv_method='reference', i0=0, final_reset=True,
-                 check_every=1, dip_memory=False):
+def _grey_evolve_core(state: ColumnState, forcing: GreyForcing, p_interface,
+                      p_centre_col, flux_thresh, convective_adjust=False,
+                      t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5.0,
+                      net_flux_thresh=1e-7, net_flux_percentile=95,
+                      max_steps=500_000, conv_method='reference', i0=0,
+                      final_reset=True, check_every=1, dip_memory=False,
+                      debug=False):
     net_fn = lambda T: grey_net_flux(T, forcing)
     return column.evolve_to_equilibrium(
         state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
@@ -106,7 +104,40 @@ def _grey_evolve(state: ColumnState, forcing: GreyForcing, p_interface,
         conv_t_multiplier=conv_t_multiplier, net_flux_thresh=net_flux_thresh,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
         conv_method=conv_method, i0=i0, final_reset=final_reset,
-        check_every=check_every, dip_memory=dip_memory)
+        check_every=check_every, dip_memory=dip_memory, debug=debug)
+
+
+_grey_evolve = functools.partial(jax.jit, static_argnames=(
+    'convective_adjust', 'net_flux_percentile', 'conv_method', 'final_reset',
+    'check_every', 'dip_memory', 'debug'))(_grey_evolve_core)
+
+
+@functools.partial(jax.jit, static_argnames=('convective_adjust',
+                                             'net_flux_percentile',
+                                             'conv_method', 'final_reset'))
+def _grey_evolve_debug(state: ColumnState, forcing: GreyForcing, p_interface,
+                       p_centre_col, flux_thresh, convective_adjust=False,
+                       t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5.0,
+                       net_flux_thresh=1e-7, net_flux_percentile=95,
+                       max_steps=500_000, conv_method='reference', i0=0,
+                       final_reset=True):
+    """checkify-instrumented march (SURVEY §5 sanitizer row): same physics
+    as :func:`_grey_evolve` but every step carries user checks locating the
+    first non-finite flux/temperature (flat index, step, simulated time).
+    Returns ``(checkify_error, (state, info))``; the caller throws the error
+    on the host.  Per-step checking only (the failing step is the payload)."""
+    checked = checkify.checkify(
+        functools.partial(_grey_evolve_core,
+                          convective_adjust=convective_adjust,
+                          net_flux_percentile=net_flux_percentile,
+                          conv_method=conv_method, final_reset=final_reset,
+                          debug=True),
+        errors=checkify.user_checks)
+    return checked(state, forcing, p_interface, p_centre_col, flux_thresh,
+                   t_end=t_end, conv_thresh=conv_thresh,
+                   conv_t_multiplier=conv_t_multiplier,
+                   net_flux_thresh=net_flux_thresh, max_steps=max_steps,
+                   i0=i0)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'conv_method',
@@ -348,7 +379,7 @@ class GreyGas:
                               t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
                               verbose=False, conv_method='reference',
                               chunk_steps=None, check_every=1,
-                              dip_memory=False) -> dict:
+                              dip_memory=False, debug=False) -> dict:
         """March to equilibrium (base.py:266-335).
 
         save=False runs a single fused lax.while_loop on device (fast path);
@@ -378,7 +409,18 @@ class GreyGas:
             Use for convective marches and oscillating-delta configs where
             plain sparse checks miss their exit (see
             column.evolve_to_equilibrium).
+        :param debug: run the march under :mod:`jax.experimental.checkify`
+            user checks (SURVEY §5 sanitizer row): a failure raises
+            ``checkify.JaxRuntimeError`` on the host naming the first
+            non-finite net-flux interface / non-finite temperature level /
+            below-zero level plus the step and simulated time, instead of
+            the plain path's location-free ``FloatingPointError``.
+            save=False + check_every=1 only; numerics are unchanged.
         """
+        if debug and (save or check_every != 1 or dip_memory):
+            raise ValueError('debug=True supports the fused save=False '
+                             'per-step march only (check_every=1, '
+                             'dip_memory=False)')
         # data_dict=None restarts the clock (base.py:301-306) — each fresh
         # call gets the t=0 forced first step, so a localized forcing change
         # can't look instantly 'converged'.  The starting t is tracked as a
@@ -406,15 +448,34 @@ class GreyGas:
             if verbose and chunk_steps is None:
                 chunk_steps = 1000
             if chunk_steps is None:
-                self._state, info = _grey_evolve(
-                    self._state, forcing, p_int, p_c, ft,
-                    convective_adjust=convective_adjust, t_end=float(t_end),
-                    conv_thresh=conv_thresh,
-                    conv_t_multiplier=conv_t_multiplier,
-                    conv_method=conv_method, check_every=int(check_every),
-                    dip_memory=bool(dip_memory))
+                if debug:
+                    err, (self._state, info) = _grey_evolve_debug(
+                        self._state, forcing, p_int, p_c, ft,
+                        convective_adjust=convective_adjust,
+                        t_end=float(t_end), conv_thresh=conv_thresh,
+                        conv_t_multiplier=conv_t_multiplier,
+                        conv_method=conv_method)
+                    err.throw()    # raises JaxRuntimeError with the location
+                else:
+                    self._state, info = _grey_evolve(
+                        self._state, forcing, p_int, p_c, ft,
+                        convective_adjust=convective_adjust,
+                        t_end=float(t_end), conv_thresh=conv_thresh,
+                        conv_t_multiplier=conv_t_multiplier,
+                        conv_method=conv_method, check_every=int(check_every),
+                        dip_memory=bool(dip_memory))
             else:
                 def chunk_evolve(state, ft_c, *, i0, t_end, max_steps):
+                    if debug:
+                        err, out = _grey_evolve_debug(
+                            state, forcing, p_int, p_c, ft_c,
+                            convective_adjust=convective_adjust, t_end=t_end,
+                            conv_thresh=conv_thresh,
+                            conv_t_multiplier=conv_t_multiplier,
+                            conv_method=conv_method, i0=i0,
+                            max_steps=max_steps, final_reset=False)
+                        err.throw()   # per chunk: a debug march syncs anyway
+                        return out
                     return _grey_evolve(
                         state, forcing, p_int, p_c, ft_c,
                         convective_adjust=convective_adjust, t_end=t_end,

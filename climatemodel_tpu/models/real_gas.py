@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+from jax.experimental import checkify
 from scipy import optimize
 from scipy.interpolate import InterpolatedUnivariateSpline, interp1d
 
@@ -362,19 +363,14 @@ _band_attenuation_jit = functools.partial(jax.jit, static_argnames=(
 
 # max_steps stays dynamic (it's only compared in the while cond): the chunked
 # march passes a growing i0+chunk_steps and must not retrace per chunk
-@functools.partial(jax.jit, static_argnames=('convective_adjust',
-                                             'net_flux_percentile',
-                                             'conv_method', 'final_reset',
-                                             'cache_dtype', 'check_every',
-                                             'dip_memory'))
-def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
-                     F_star_factor, delta, p_interface, p_centre_col,
-                     flux_thresh, convective_adjust=False, t_end=4.0,
-                     conv_thresh=1e-5, conv_t_multiplier=5.0,
-                     net_flux_thresh=1e-7, net_flux_percentile=95,
-                     max_steps=500_000, conv_method='reference', i0=0,
-                     final_reset=True, cache_dtype=None, check_every=1,
-                     dip_memory=False):
+def _real_gas_evolve_core(state: ColumnState, T_g, tau_interface,
+                          ba: BandArrays, F_star_factor, delta, p_interface,
+                          p_centre_col, flux_thresh, convective_adjust=False,
+                          t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5.0,
+                          net_flux_thresh=1e-7, net_flux_percentile=95,
+                          max_steps=500_000, conv_method='reference', i0=0,
+                          final_reset=True, cache_dtype=None, check_every=1,
+                          dip_memory=False, debug=False):
     # tau (composition) is fixed during the march: hoist the transmission
     # matrices and integral-weight products out of the loop; each step is then
     # a couple of small batched matmuls over the Planck factors.
@@ -391,7 +387,42 @@ def _real_gas_evolve(state: ColumnState, T_g, tau_interface, ba: BandArrays,
         net_flux_percentile=net_flux_percentile, max_steps=max_steps,
         p_descending=False, conv_method=conv_method, i0=i0,
         final_reset=final_reset, check_every=check_every,
-        dip_memory=dip_memory)
+        dip_memory=dip_memory, debug=debug)
+
+
+_real_gas_evolve = functools.partial(jax.jit, static_argnames=(
+    'convective_adjust', 'net_flux_percentile', 'conv_method', 'final_reset',
+    'cache_dtype', 'check_every', 'dip_memory', 'debug'))(_real_gas_evolve_core)
+
+
+@functools.partial(jax.jit, static_argnames=('convective_adjust',
+                                             'net_flux_percentile',
+                                             'conv_method', 'final_reset',
+                                             'cache_dtype'))
+def _real_gas_evolve_debug(state: ColumnState, T_g, tau_interface,
+                           ba: BandArrays, F_star_factor, delta, p_interface,
+                           p_centre_col, flux_thresh, convective_adjust=False,
+                           t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5.0,
+                           net_flux_thresh=1e-7, net_flux_percentile=95,
+                           max_steps=500_000, conv_method='reference', i0=0,
+                           final_reset=True, cache_dtype=None):
+    """checkify-instrumented march (SURVEY §5 sanitizer row): same physics as
+    :func:`_real_gas_evolve` but every step carries user checks locating the
+    first non-finite flux/temperature (flat index, step, simulated time).
+    Returns ``(checkify_error, (state, info))``; the caller throws on host."""
+    checked = checkify.checkify(
+        functools.partial(_real_gas_evolve_core,
+                          convective_adjust=convective_adjust,
+                          net_flux_percentile=net_flux_percentile,
+                          conv_method=conv_method, final_reset=final_reset,
+                          cache_dtype=cache_dtype, debug=True),
+        errors=checkify.user_checks)
+    return checked(state, T_g, tau_interface, ba, F_star_factor, delta,
+                   p_interface, p_centre_col, flux_thresh, t_end=t_end,
+                   conv_thresh=conv_thresh,
+                   conv_t_multiplier=conv_t_multiplier,
+                   net_flux_thresh=net_flux_thresh, max_steps=max_steps,
+                   i0=i0)
 
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'n_snaps',
@@ -760,7 +791,7 @@ class RealGas:
                               save=False, t_end=4.0, conv_thresh=1e-5,
                               conv_t_multiplier=5, conv_method='reference',
                               chunk_steps=None, verbose=False, check_every=1,
-                              dip_memory=False):
+                              dip_memory=False, debug=False):
         """March to equilibrium (base.py:266-335) with the fused device loop.
 
         :param chunk_steps: split the fused march into device calls of this
@@ -778,7 +809,18 @@ class RealGas:
             criteria every step inside the chunk and freeze the carry at the
             first stop event — bit-identical to ``check_every=1`` (see
             column.evolve_to_equilibrium); use for convective marches.
+        :param debug: run the march under :mod:`jax.experimental.checkify`
+            user checks (SURVEY §5 sanitizer row): a failure raises
+            ``checkify.JaxRuntimeError`` on the host naming the first
+            non-finite net-flux interface / non-finite temperature level /
+            below-zero level plus the step and simulated time, instead of
+            the plain path's location-free ``FloatingPointError``.
+            save=False + check_every=1 only; numerics are unchanged.
         """
+        if debug and (save or check_every != 1 or dip_memory):
+            raise ValueError('debug=True supports the fused save=False '
+                             'per-step march only (check_every=1, '
+                             'dip_memory=False)')
         # data_dict=None restarts the clock (base.py:301-306): each fresh call
         # gets the t=0 forced first step.  The starting t is tracked as a
         # HOST value so neither the T_initial t==0 check nor the fresh
@@ -882,11 +924,26 @@ class RealGas:
                   conv_method=conv_method, cache_dtype=self.cache_dtype,
                   check_every=int(check_every), dip_memory=bool(dip_memory))
         ft = jnp.asarray(flux_thresh, self.dtype)
+        kw_dbg = dict(convective_adjust=convective_adjust,
+                      conv_thresh=conv_thresh,
+                      conv_t_multiplier=conv_t_multiplier,
+                      conv_method=conv_method, cache_dtype=self.cache_dtype)
         if chunk_steps is None:
-            self._state, info = _real_gas_evolve(self._state, *args, ft,
-                                                 t_end=float(t_end), **kw)
+            if debug:
+                err, (self._state, info) = _real_gas_evolve_debug(
+                    self._state, *args, ft, t_end=float(t_end), **kw_dbg)
+                err.throw()    # raises JaxRuntimeError with the location
+            else:
+                self._state, info = _real_gas_evolve(self._state, *args, ft,
+                                                     t_end=float(t_end), **kw)
         else:
             def chunk_evolve(state, ft_c, *, i0, t_end, max_steps):
+                if debug:
+                    err, out = _real_gas_evolve_debug(
+                        state, *args, ft_c, i0=i0, t_end=t_end,
+                        max_steps=max_steps, final_reset=False, **kw_dbg)
+                    err.throw()   # per chunk: a debug march syncs anyway
+                    return out
                 return _real_gas_evolve(state, *args, ft_c, i0=i0,
                                         t_end=t_end, max_steps=max_steps,
                                         final_reset=False, **kw)
