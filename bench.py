@@ -445,6 +445,11 @@ def bench_rce_conv():
     for key, method, chunk_kw in (
             ('reference', 'reference', {}),
             ('isotonic_variant', 'isotonic', {}),
+            # forcing baked as compile-time constants: same physics per step
+            # (probe-verified equal adjustment work), ~2.7x from XLA
+            # scheduling the nested adjustment loops around literals; one
+            # compile per forcing, so it measures the repeated-march regime
+            ('baked_variant', 'reference', dict(bake_forcing=True)),
             # bit-exact chunked exit (dip_memory freezes the carry at the
             # first stop event): the convective march's delta oscillates so
             # plain check_every misses its exits, but the dip-memory chunk
@@ -453,8 +458,13 @@ def bench_rce_conv():
             # the per-step reference row above it
             ('dip_memory_variant', 'reference',
              dict(check_every=8, dip_memory=True))):
+        # t_end=30: trajectories that miss the early delta dip (the baked
+        # CPU-like path) march ~8 simulated years to theirs — the default
+        # 4-year cap returned a TIMED-OUT state whose days/s looked great
+        # (caught by the r05 verify drive); every row must be a CONVERGED
+        # march, pinned by the equilibrium field below
         kw = dict(flux_thresh=1e-3, save=False, convective_adjust=True,
-                  conv_method=method, **chunk_kw)
+                  conv_method=method, t_end=30.0, **chunk_kw)
         world = _thermosphere_world()
         world.evolve_to_equilibrium(**kw)         # compile + run
         # best-of-3 (r03 timed a single run; one tunnel hiccup inflated the
@@ -472,7 +482,8 @@ def bench_rce_conv():
                 steps = int(world2._equilibrium_info.steps)
         res = {'model_days_per_sec': days / wall, 'steps': steps,
                'wall_s': wall, 'steps_per_sec': steps / wall,
-               'ms_per_step': 1e3 * wall / steps}
+               'ms_per_step': 1e3 * wall / steps,
+               'equilibrium': bool(world2._equilibrium_info.equilibrium)}
         if key == 'reference':
             out.update(res, nz=world2.nz, conv_method='reference')
             T_ref_endpoint = np.asarray(world2.T, np.float64)
@@ -481,6 +492,11 @@ def bench_rce_conv():
                 res['endpoint_bit_equal'] = bool(
                     (np.asarray(world2.T, np.float64)
                      == T_ref_endpoint).all())
+            elif key == 'baked_variant':
+                # baked trajectories differ at the f32-bit level (host-folded
+                # exp); record the equilibrium agreement explicitly
+                res['endpoint_max_dT_vs_reference_K'] = float(np.max(np.abs(
+                    np.asarray(world2.T, np.float64) - T_ref_endpoint)))
             out[key] = res
 
     # (r05) the Pallas-kernel executor row ('kernel_variant') was removed

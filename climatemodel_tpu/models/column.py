@@ -511,7 +511,11 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 return st, i, delta, eqb, failed, nan, tout
 
             # outer cond guarantees every flag is False on entry; the &False
-            # keeps traced dtypes/shapes
+            # keeps traced dtypes/shapes.  (r05 negative result: UNROLLING
+            # this chunk into straight-line code buys nothing on v5e — 0.52
+            # unrolled vs 0.51 per-step on the convective march — the cost
+            # is the body's dependency chain, not fori boundaries; see
+            # PERF.md "where the convective march's time actually goes".)
             init = (st, i, delta0, eqb0 & False, failed0 & False,
                     nan0 & False, tout0 & False)
             st, i, delta, eqb, failed, nan, tout = lax.fori_loop(

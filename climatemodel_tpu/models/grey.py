@@ -111,6 +111,11 @@ _grey_evolve = functools.partial(jax.jit, static_argnames=(
     'convective_adjust', 'net_flux_percentile', 'conv_method', 'final_reset',
     'check_every', 'dip_memory', 'debug'))(_grey_evolve_core)
 
+# bake_forcing=True closures, keyed by forcing VALUE fingerprint + march
+# options (GreyGas._baked_evolve); module-level so identical worlds share one
+# compiled executable
+_BAKED_EVOLVE_CACHE: dict = {}
+
 
 @functools.partial(jax.jit, static_argnames=('convective_adjust',
                                              'net_flux_percentile',
@@ -374,12 +379,73 @@ class GreyGas:
         t_np, delta_np = jax.device_get((self._state.t, delta))
         return float(t_np), float(delta_np)
 
+    def _forcing_fingerprint(self):
+        """Value hash of everything a baked march closes over — catches
+        in-place mutations (the ice-albedo ramp mutates ``albedo`` through
+        the reference's aliasing) that an identity-keyed cache would miss."""
+        import hashlib
+        h = hashlib.sha1()
+        for a in (self.dtau, self.tau_sw_interface, self.albedo_mod,
+                  self.solar_latitude_factor, self.p_interface,
+                  self.p[:, 0]):
+            h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+        h.update(np.float64(self.F_stellar_constant).tobytes())
+        return h.hexdigest()
+
+    def _baked_evolve(self, convective_adjust, conv_method, conv_thresh,
+                      conv_t_multiplier, check_every, dip_memory,
+                      final_reset):
+        """jitted march whose forcing and pressure grids are CLOSED OVER as
+        compile-time constants instead of dynamic arguments.
+
+        Measured on v5e (tools/conv_while_bisect.py probe, nz=150
+        thermosphere, identical per-step work — 292/300 steps firing real
+        ~4.7 K group-blend adjustments in both): 0.46 ms/step with the
+        forcing passed dynamically vs 0.17 ms/step baked.  XLA schedules the
+        nested convective while_loops far better when the flux coefficients
+        are literals; manually hoisting the same values as dynamic tracers
+        recovers nothing (measured), so this is a compile-mode, not a code
+        restructure.  Trajectories are NOT bit-identical to the dynamic
+        path (host-folded exp differs from the device's by ulps, which the
+        adaptive march amplifies like any other f32 path choice); equilibria
+        agree within the same envelope as the CPU/TPU or scan/kernel paths.
+        One compile per distinct (forcing values, march options) — use for
+        repeated marches of an unchanged world, NOT inside forcing sweeps."""
+        key = (self._forcing_fingerprint(), bool(convective_adjust),
+               conv_method, float(conv_thresh), float(conv_t_multiplier),
+               int(check_every), bool(dip_memory), bool(final_reset))
+        # module-level, value-keyed: fresh model objects with identical
+        # forcing (e.g. a benchmark building one world per trial) share the
+        # compiled closure instead of retracing per instance
+        cache = _BAKED_EVOLVE_CACHE
+        fn = cache.get(key)
+        if fn is None:
+            forcing = self.forcing
+            p_int = jnp.asarray(self.p_interface, self.dtype)
+            p_c = jnp.asarray(self.p[:, 0], self.dtype)
+
+            @jax.jit
+            def fn(state, ft, t_end, i0, max_steps):
+                return _grey_evolve_core(
+                    state, forcing, p_int, p_c, ft,
+                    convective_adjust=convective_adjust, t_end=t_end,
+                    conv_thresh=conv_thresh,
+                    conv_t_multiplier=conv_t_multiplier,
+                    conv_method=conv_method, i0=i0, max_steps=max_steps,
+                    final_reset=final_reset, check_every=int(check_every),
+                    dip_memory=bool(dip_memory))
+            while len(cache) >= 8:          # bound the live-executable count
+                cache.pop(next(iter(cache)))
+            cache[key] = fn
+        return fn
+
     def evolve_to_equilibrium(self, data_dict=None, flux_thresh=1e-3,
                               T_initial=None, convective_adjust=False, save=True,
                               t_end=4.0, conv_thresh=1e-5, conv_t_multiplier=5,
                               verbose=False, conv_method='reference',
                               chunk_steps=None, check_every=1,
-                              dip_memory=False, debug=False) -> dict:
+                              dip_memory=False, debug=False,
+                              bake_forcing=False) -> dict:
         """March to equilibrium (base.py:266-335).
 
         save=False runs a single fused lax.while_loop on device (fast path);
@@ -409,6 +475,18 @@ class GreyGas:
             Use for convective marches and oscillating-delta configs where
             plain sparse checks miss their exit (see
             column.evolve_to_equilibrium).
+        :param bake_forcing: compile the march with this world's forcing and
+            pressure grids as COMPILE-TIME CONSTANTS (save=False only;
+            ignored under debug).  ~2.7x on v5e convective marches at
+            identical per-step work — XLA schedules the nested adjustment
+            loops far better around literal flux coefficients (see
+            :meth:`_baked_evolve` for the measurements).  One compile per
+            distinct forcing (value-fingerprinted, so in-place albedo
+            mutations are caught); keep False inside forcing sweeps, where
+            the dynamic-pytree path compiles once for every member.
+            Trajectories differ from the dynamic path at the f32-bit level
+            (like CPU vs TPU); equilibrium endpoints agree within the same
+            envelope.
         :param debug: run the march under :mod:`jax.experimental.checkify`
             user checks (SURVEY §5 sanitizer row): a failure raises
             ``checkify.JaxRuntimeError`` on the host naming the first
@@ -456,6 +534,14 @@ class GreyGas:
                         conv_t_multiplier=conv_t_multiplier,
                         conv_method=conv_method)
                     err.throw()    # raises JaxRuntimeError with the location
+                elif bake_forcing:
+                    baked = self._baked_evolve(
+                        convective_adjust, conv_method, conv_thresh,
+                        conv_t_multiplier, check_every, dip_memory,
+                        final_reset=True)
+                    self._state, info = baked(
+                        self._state, ft, float(t_end),
+                        jnp.asarray(0, jnp.int32), 500_000)
                 else:
                     self._state, info = _grey_evolve(
                         self._state, forcing, p_int, p_c, ft,
@@ -465,6 +551,12 @@ class GreyGas:
                         conv_method=conv_method, check_every=int(check_every),
                         dip_memory=bool(dip_memory))
             else:
+                baked_chunk = self._baked_evolve(
+                    convective_adjust, conv_method, conv_thresh,
+                    conv_t_multiplier, check_every, dip_memory,
+                    final_reset=False) if (bake_forcing and not debug) \
+                    else None
+
                 def chunk_evolve(state, ft_c, *, i0, t_end, max_steps):
                     if debug:
                         err, out = _grey_evolve_debug(
@@ -476,6 +568,10 @@ class GreyGas:
                             max_steps=max_steps, final_reset=False)
                         err.throw()   # per chunk: a debug march syncs anyway
                         return out
+                    if baked_chunk is not None:
+                        return baked_chunk(state, ft_c, t_end,
+                                           jnp.asarray(i0, jnp.int32),
+                                           jnp.asarray(max_steps, jnp.int32))
                     return _grey_evolve(
                         state, forcing, p_int, p_c, ft_c,
                         convective_adjust=convective_adjust, t_end=t_end,

@@ -187,11 +187,25 @@ def _reference_adjust_core(pi, w, T, delta_T_thresh, max_groups=None,
         return (jnp.any(unstable_mask(T, ignored)) & (it < max_outer)
                 & progressed)
 
-    T_out, _, _, _ = lax.while_loop(outer_cond, outer_body,
-                                    (T, jnp.zeros((nz,), bool),
-                                     jnp.asarray(0, jnp.int32),
-                                     jnp.asarray(True)))
-    return T_out
+    def run_core(T):
+        T_out, _, _, _ = lax.while_loop(outer_cond, outer_body,
+                                        (T, jnp.zeros((nz,), bool),
+                                         jnp.asarray(0, jnp.int32),
+                                         jnp.asarray(True)))
+        return T_out
+
+    # Gate the whole iteration behind the stability check.  Bit-identical by
+    # construction: a stable column makes outer_cond false on entry, so the
+    # while_loop already returns T unchanged — the cond only skips its
+    # CONTROL FLOW.  Measured on v5e (tools/conv_while_bisect.py): inside an
+    # adaptive march whose forcing is a dynamic pytree, each step carrying
+    # the nested while_loops costs ~0.5 ms even when they do nothing (XLA
+    # schedules the loop machinery regardless); branching over them cuts the
+    # stable steps to the radiative cost (0.51 -> 0.25 ms/step march
+    # average).  Under vmap the cond lowers to a select (both branches run),
+    # which is exactly the pre-gate behaviour for batched callers.
+    return lax.cond(jnp.any(unstable_mask(T, jnp.zeros((nz,), bool))),
+                    run_core, lambda T: T, T)
 
 
 # Batched faithful executor.  A Pallas lane-kernel variant of this executor
@@ -364,7 +378,14 @@ def convective_adjustment(p, T, lapse_rate=g / c_p_dry, delta_T_thresh=None,
         thresh = (jnp.median(T, axis=0) / 4.0 if delta_T_thresh is None
                   else jnp.broadcast_to(jnp.asarray(delta_T_thresh, T.dtype),
                                         (T.shape[1],)))
-        T_new = _ref_rows(T.T, pi, w, thresh).T
+        if T.shape[1] == 1:
+            # single column: call the core UNVMAPPED so its stability gate
+            # stays a real lax.cond (vmap lowers cond to select, which runs
+            # the nested sweep loops even on stable profiles — measured
+            # 0.25 vs 0.51 ms/step on the v5e adaptive march)
+            T_new = _reference_adjust_core(pi, w, T[:, 0], thresh[0])[:, None]
+        else:
+            T_new = _ref_rows(T.T, pi, w, thresh).T
     else:
         adjust = jax.vmap(
             lambda Tc: convective_adjustment_single(p, Tc, lapse_rate,

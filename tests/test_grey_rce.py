@@ -444,3 +444,77 @@ def test_f32_noise_blocked_member_finishes_in_f64():
     assert float(cont.max()) < 5.0, cont.max()
     # total simulated time accumulates across the finishing calls
     assert np.all(np.asarray(fs_r.t[2:]) > np.asarray(fs.t[2:]))
+
+
+def test_bake_forcing_matches_dynamic_march():
+    """bake_forcing=True (forcing/pressure grids as compile-time constants,
+    grey.py _baked_evolve) is a compile MODE: same march semantics, same
+    equilibrium.  Radiative marches converge deterministically, so the
+    endpoint agreement is tight; the convective leg uses the thermosphere
+    config (whose adaptive march genuinely reaches its delta exit) and
+    asserts both cadences converge — non-converged oscillating convective
+    states amplify single-ulp folding differences without bound and are NOT
+    comparable (measured 11 K after 3k timed-out steps, CPU f64)."""
+    def make():
+        return GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                       tau_lw_func_args=[100000, 4])
+
+    w_dyn, w_baked = make(), make()
+    for _ in range(2):
+        w_dyn.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+        w_baked.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                      bake_forcing=True)
+    assert bool(np.asarray(w_baked._equilibrium_info.equilibrium))
+    active = w_dyn.tau[:, 0] > 0.03
+    diff = np.abs(np.asarray(w_dyn.T) - np.asarray(w_baked.T))[active]
+    assert diff.max() < 0.05, f'baked radiative endpoint off {diff.max():.4f} K'
+
+    # convective leg: a converging config, both cadences reach equilibrium
+    from climatemodel_tpu.cli import grey_world_kwargs
+    def make_conv():
+        return GreyGas(nz=60, ny=1, **grey_world_kwargs('thermosphere'))
+    w_dc, w_bc = make_conv(), make_conv()
+    for _ in range(2):
+        w_dc.evolve_to_equilibrium(flux_thresh=1e-3, save=False, t_end=30.0,
+                                   convective_adjust=True)
+        w_bc.evolve_to_equilibrium(flux_thresh=1e-3, save=False, t_end=30.0,
+                                   convective_adjust=True, bake_forcing=True)
+    assert bool(np.asarray(w_bc._equilibrium_info.equilibrium))
+    assert bool(np.asarray(w_dc._equilibrium_info.equilibrium))
+    # converged convective equilibria agree except for the documented
+    # path-dependent convective-layer-edge freedom (PERF.md r05)
+    d_surf = abs(float(w_dc.T[0, 0]) - float(w_bc.T[0, 0]))
+    assert d_surf < 0.5, f'surface disagreement {d_surf:.3f} K'
+
+
+def test_bake_forcing_fingerprint_catches_inplace_albedo_mutation():
+    """The baked closure is keyed by a VALUE fingerprint of the forcing: an
+    in-place albedo mutation (exactly what the ice-albedo ramp does through
+    the reference's albedo/albedo_mod aliasing, grey.py:91-96) must trigger
+    a fresh bake, not silently reuse stale constants."""
+    world = GreyGas(nz=40, ny=4, tau_lw_func='exponential',
+                    tau_lw_func_args=[100000, 4],
+                    albedo=lambda lat: np.full_like(lat, 0.3))
+    world.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                bake_forcing=True)
+    T_warm = np.asarray(world.T).copy()
+
+    # mutate albedo IN PLACE (reference aliasing semantics; a gentle step —
+    # a 0.3->0.7 jump marches some level below zero, which raises like the
+    # reference), re-march baked
+    world.albedo[:] = 0.4
+    world.evolve_to_equilibrium(flux_thresh=1e-3, save=False,
+                                bake_forcing=True)
+    T_cold_baked = np.asarray(world.T).copy()
+    assert T_cold_baked.max() < T_warm.max() - 2.0, \
+        'baked march reused stale albedo constants after in-place mutation'
+
+    # and the baked cold endpoint agrees with the dynamic cold march
+    world2 = GreyGas(nz=40, ny=4, tau_lw_func='exponential',
+                     tau_lw_func_args=[100000, 4],
+                     albedo=lambda lat: np.full_like(lat, 0.4))
+    world2.T = T_warm
+    world2.evolve_to_equilibrium(flux_thresh=1e-3, save=False)
+    active = world2.tau[:, 0] > 0.03
+    diff = np.abs(np.asarray(world2.T) - T_cold_baked)[active]
+    assert diff.max() < 0.5, f'stale-constant divergence {diff.max():.3f} K'
