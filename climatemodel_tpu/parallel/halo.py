@@ -16,8 +16,12 @@ the unsharded model exactly.  Equality with the unsharded step is exact because
 (a) every ghost value of the reference BCs is a copy of an interior value, and
 (b) of the four schemes only maccormack reads ghost corners — the 1-D
 decomposition reproduces the reference's periodic-y corner rules (incl. the
-``f[-1,-1]=f[-2,-1]`` quirk) on the edge shards; the 2-D decomposition
-refuses maccormack+periodic-y (corners would need diagonal-neighbour halos).
+``f[-1,-1]=f[-2,-1]`` quirk) on the edge shards, and the 2-D decomposition
+fixes the four GLOBAL corners via a y-ring exchange between the corner
+shards (``_fix_corners_periodic_y_2d``; interior seam corners are already
+exact because y is padded before x).  The El Nino wind closure's
+ghost-inclusive boundary averages fold ghost mask weights onto their source
+cells for every (bx, by) combination, corner override rules included.
 
 ``numerical_solver='richtmyer_pallas'`` (r05): the 1-D decomposition runs the
 FUSED PALLAS FRAME KERNEL per shard — each shard's state lives in a padded
@@ -109,6 +113,42 @@ def _fix_corners_periodic_y(fp, axis_name):
     fp = fp.at[0, -1].set(jnp.where(i == 0, fp[1, 1], fp[0, -1]))
     fp = fp.at[L + 1, 0].set(jnp.where(i == n - 1, fp[L, -2], fp[L + 1, 0]))
     fp = fp.at[L + 1, -1].set(jnp.where(i == n - 1, fp[L, -1], fp[L + 1, -1]))
+    return fp
+
+
+def _fix_corners_periodic_y_2d(fp, f, ax_x, ax_y):
+    """Reference periodic-y ghost-corner rules at the four GLOBAL corners of a
+    2-D decomposition (shallow_water.py:428-436, applied after the x rules so
+    they win): f[0,0]=f[1,-2], f[-1,0]=f[-2,-2], f[0,-1]=f[1,1] and the quirk
+    f[-1,-1]=f[-2,-1] (whose value the y edge rule already set to f[-2,1]).
+    Every source is an interior cell of the same-x shard at the OPPOSITE
+    global y edge, so the corner shards exchange one value over the y ring
+    (two ppermutes per x side); every other shard's write is a no-op.
+    Interior seam corners need no fixing: padding y before x transports the
+    diagonal neighbours' values exactly.
+
+    :param fp: [lx+2, ly+2] padded local block (pad2 output).
+    :param f: [lx, ly] local interior block.
+    """
+    n_y = lax.axis_size(ax_y)
+    j = lax.axis_index(ax_y)
+    n_x = lax.axis_size(ax_x)
+    i = lax.axis_index(ax_x)
+    fwd, bwd = _ring_perms(n_y)
+
+    def fix_side(fp, xi, xg, on_edge):
+        own_hi = f[xi, -1].reshape(1, 1)    # this shard's y-hi interior corner
+        own_lo = f[xi, 0].reshape(1, 1)
+        from_hi = lax.ppermute(own_hi, ax_y, fwd)[0, 0]   # j=0 <- j=n_y-1
+        from_lo = lax.ppermute(own_lo, ax_y, bwd)[0, 0]   # j=n_y-1 <- j=0
+        fp = fp.at[xg, 0].set(jnp.where(on_edge & (j == 0), from_hi,
+                                        fp[xg, 0]))
+        fp = fp.at[xg, -1].set(jnp.where(on_edge & (j == n_y - 1), from_lo,
+                                         fp[xg, -1]))
+        return fp
+
+    fp = fix_side(fp, 0, 0, i == 0)           # global x-lo ghost column
+    fp = fix_side(fp, -1, -1, i == n_x - 1)   # global x-hi ghost column
     return fp
 
 
@@ -234,14 +274,6 @@ class ShardedShallowWater:
             self.use_kernel = bool(use_kernel)
         self.solver = ('richtmyer' if world.numerical_solver
                        == 'richtmyer_pallas' else world.numerical_solver)
-        # 'seasonal' never computes the boundary averages this guard
-        # protects (its step branch uses only t), so it is exempt
-        if world.wind_type not in (None, 'unforced', 'seasonal') and \
-                world.boundary_type['y'] == 'periodic':
-            raise NotImplementedError(
-                'ghost-corner mask folding for the wind averages is exact '
-                'only for walls-y (the periodic-y corner rules source from '
-                'x-interior columns)')
         n_shards = mesh.shape[axis_name]
         nxi = world.nx - 2
         if nxi % n_shards:
@@ -291,14 +323,33 @@ class ShardedShallowWater:
                 jnp.asarray(0.0, d)
 
     def _fold_ghost_mask(self, mask):
-        """Full ghost-grid mask [nx, ny] -> interior-x weights [nx-2, ny]."""
-        nx = self.world.nx
+        """Full ghost-grid mask [nx, ny] -> interior-x weights [nx-2, ny].
+
+        Every ghost h value is a copy of some other cell, so each ghost mask
+        weight accumulates onto its source; x ghost columns fold here, y
+        ghost rows stay (the step refreshes local y ghosts before averaging).
+        With periodic-y the reference's corner rules (shallow_water.py:
+        428-436) override the x rules, so the 4 corner weights route to THEIR
+        sources (f[0,0]=f[1,-2], f[0,-1]=f[1,1], f[-1,0]=f[-2,-2], and the
+        quirk f[-1,-1]=f[-2,-1] whose value is f[-2,1]) instead of the
+        x-column fold; with walls-y the plain fold is already exact (the
+        y-walls copy rule composes with the x rules cell-by-cell)."""
+        nx, ny = self.world.nx, self.world.ny
         bx = self.world.boundary_type['x']
-        w = mask[1:-1].astype(np.float64).copy()
+        by = self.world.boundary_type['y']
+        m = mask.astype(np.float64).copy()
+        w = m[1:-1].copy()
+        if by == 'periodic':
+            # interior-x index, ghost-grid y index (w keeps the y extent)
+            w[0, ny - 2] += m[0, 0]
+            w[0, 1] += m[0, -1]
+            w[nx - 3, ny - 2] += m[-1, 0]
+            w[nx - 3, 1] += m[-1, -1]
+            m[0, 0] = m[0, -1] = m[-1, 0] = m[-1, -1] = 0.0
         left_src = (nx - 3) if bx == 'periodic' else 0
         right_src = 0 if bx == 'periodic' else (nx - 3)
-        w[left_src] += mask[0]
-        w[right_src] += mask[-1]
+        w[left_src] += m[0]
+        w[right_src] += m[-1]
         return w
 
     def _step_fn(self, target_courant=0.1):
@@ -582,6 +633,12 @@ def make_sharded_step_2d(ax_x='x', ax_y='y', solver='richtmyer', linear=False,
         hp = pad2(h)
         up = pad2(u, wall_u_x=True)
         vp = pad2(v, wall_v_y=True)
+        if solver == 'maccormack' and by == 'periodic':
+            # maccormack is the one scheme that reads ghost corners; the
+            # global corners need the reference's periodic-y override rules
+            hp = _fix_corners_periodic_y_2d(hp, h, ax_x, ax_y)
+            up = _fix_corners_periodic_y_2d(up, u, ax_x, ax_y)
+            vp = _fix_corners_periodic_y_2d(vp, v, ax_x, ax_y)
         U = sw.get_conservative_form(hp, up, vp, linear)
         flux_x = sw.make_flux_x(g, h_mean, linear)
         flux_y = sw.make_flux_y(g, h_mean, linear)
@@ -629,18 +686,6 @@ class ShardedShallowWater2D:
         self.ax_x, self.ax_y = ax_x, ax_y
         self.solver = ('richtmyer' if world.numerical_solver
                        == 'richtmyer_pallas' else world.numerical_solver)
-        if self.solver == 'maccormack' and \
-                world.boundary_type['y'] == 'periodic':
-            raise NotImplementedError(
-                'maccormack reads ghost corners; the periodic-y corner rules '
-                'need diagonal-neighbour halos the 2-D decomposition does not '
-                'exchange — use the 1-D decomposition or another scheme')
-        if world.wind_type not in (None, 'unforced', 'seasonal') and \
-                world.boundary_type['y'] == 'periodic':
-            # 'seasonal' is exempt: it uses only t, never the averages
-            raise NotImplementedError(
-                'ghost-corner mask folding for the wind averages is exact '
-                'only for walls-y')
         self._compiled = {}
         px, py = mesh.shape[ax_x], mesh.shape[ax_y]
         nxi, nyi = world.nx - 2, world.ny - 2
@@ -677,19 +722,31 @@ class ShardedShallowWater2D:
     def _fold_mask_2d(self, mask):
         """Ghost-grid mask [nx, ny] -> interior weights [nx-2, ny-2]: every
         ghost h value is a copy of an interior cell, so its mask weight
-        accumulates onto the source cell (exact ghost-inclusive averages)."""
+        accumulates onto the source cell (exact ghost-inclusive averages).
+        With periodic-y the reference's corner rules (shallow_water.py:
+        428-436) override the x rules, so the 4 corner weights route straight
+        to their interior sources (f[0,0]=f[1,-2] etc.); with walls-y the
+        x-then-y fold is already exact cell-by-cell."""
         nx, ny = self.world.nx, self.world.ny
         bx = self.world.boundary_type['x']
         by = self.world.boundary_type['y']
+        m = mask.astype(np.float64).copy()
+        corner = np.zeros((nx - 2, ny - 2))
+        if by == 'periodic':
+            corner[0, ny - 3] += m[0, 0]          # f[0,0]   = f[1,-2]
+            corner[0, 0] += m[0, -1]              # f[0,-1]  = f[1,1]
+            corner[nx - 3, ny - 3] += m[-1, 0]    # f[-1,0]  = f[-2,-2]
+            corner[nx - 3, 0] += m[-1, -1]        # f[-1,-1] = f[-2,1]
+            m[0, 0] = m[0, -1] = m[-1, 0] = m[-1, -1] = 0.0
         # fold x ghost columns first
-        w1 = mask[1:-1].astype(np.float64).copy()          # [nxi, ny]
-        w1[(nx - 3) if bx == 'periodic' else 0] += mask[0]
-        w1[0 if bx == 'periodic' else (nx - 3)] += mask[-1]
+        w1 = m[1:-1].copy()                                # [nxi, ny]
+        w1[(nx - 3) if bx == 'periodic' else 0] += m[0]
+        w1[0 if bx == 'periodic' else (nx - 3)] += m[-1]
         # then y ghost rows
         w2 = w1[:, 1:-1].copy()                            # [nxi, nyi]
         w2[:, (ny - 3) if by == 'periodic' else 0] += w1[:, 0]
         w2[:, 0 if by == 'periodic' else (ny - 3)] += w1[:, -1]
-        return w2
+        return w2 + corner
 
     def _simulate_fn(self, nt, target_courant):
         """Build (and cache) the shard_map'd nt-step program (a fresh closure

@@ -193,15 +193,92 @@ def test_sharded_accepts_pallas_solver_name():
     np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
 
 
-def test_sharded_2d_rejects_maccormack_periodic_y():
+@pytest.mark.parametrize('bx,by', [('walls', 'periodic'),
+                                   ('periodic', 'periodic'),
+                                   ('periodic', 'walls'),
+                                   ('walls', 'walls')])
+def test_sharded_2d_maccormack_matches_single_device(bx, by):
+    """maccormack reads ghost CORNERS: the 2-D decomposition must reproduce
+    the reference's periodic-y GLOBAL-corner override rules (incl. the
+    f[-1,-1]=f[-2,-1] quirk) via the y-ring corner exchange, and the
+    walls-y corner composition cell-by-cell."""
     from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
-    from jax.sharding import Mesh
-    kw = dict(GRAV, boundary_type={'x': 'periodic', 'y': 'periodic'},
+    kw = dict(GRAV, nx=34, ny=26, boundary_type={'x': bx, 'y': by},
               numerical_solver='maccormack')
+    ref = ShallowWater(**kw)
+    ref.run(nt=30, snapshots=False)
     world = ShallowWater(**kw)
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ('x', 'y'))
-    with pytest.raises(NotImplementedError, match='corner'):
-        ShardedShallowWater2D(world, mesh)
+    mesh = make_mesh(('x', 'y'), shape=(4, 2), devices=jax.devices()[:8])
+    ShardedShallowWater2D(world, mesh).run(nt=30)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+    np.testing.assert_allclose(world.v, ref.v, atol=1e-12)
+
+
+def test_sharded_2d_maccormack_periodic_y_2x4_mesh():
+    """Same corner rules on a (2, 4) mesh: the y ring spans 4 shards, so the
+    corner values cross shards that are neither source nor destination."""
+    from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
+    kw = dict(GRAV, nx=34, ny=26,
+              boundary_type={'x': 'periodic', 'y': 'periodic'},
+              numerical_solver='maccormack')
+    ref = ShallowWater(**kw)
+    ref.run(nt=30, snapshots=False)
+    world = ShallowWater(**kw)
+    mesh = make_mesh(('x', 'y'), shape=(2, 4), devices=jax.devices()[:8])
+    ShardedShallowWater2D(world, mesh).run(nt=30)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(world.v, ref.v, atol=1e-12)
+
+
+def _el_nino_kw(nx, ny, bx, by):
+    from climatemodel_tpu.constants import Omega, R_earth
+    h_mean, g_use = 100.0, 0.05
+    c = np.sqrt(g_use * h_mean)
+    beta = 2 * Omega / R_earth
+    L_def = np.sqrt(c / beta)
+    dx = L_def / 5
+    dt = 0.05 * dx / c
+    r = 1 / (10 * 30 * 24 * 60 ** 2)
+    return dict(nx=nx, ny=ny, dx=dx, dy=dx, dt=dt, f_0=0.0, beta=beta,
+                boundary_type={'x': bx, 'y': by}, r=r, g=g_use,
+                initial_info={'type': 'el_nino', 'max_h_surface': 110.0,
+                              'min_h_surface': 90.0, 'y_std': L_def,
+                              'add_noise': False, 'wind': {'type': 'forced'}})
+
+
+@pytest.mark.parametrize('bx', ['walls', 'periodic'])
+def test_sharded_wind_closure_periodic_y_matches(bx):
+    """Forced-wind boundary averages with periodic-y: the ghost-corner mask
+    weights must fold onto the reference corner-rule sources (f[0,0]=f[1,-2]
+    etc.), for both x boundary types."""
+    kw = _el_nino_kw(34, 20, bx, 'periodic')
+    ref = ShallowWater(**{k: (dict(v, wind=dict(v['wind']))
+                              if isinstance(v, dict) and 'wind' in v
+                              else (dict(v) if isinstance(v, dict) else v))
+                          for k, v in kw.items()})
+    ref.run(nt=30, snapshots=False)
+    world = ShallowWater(**kw)
+    ShardedShallowWater(world, _mesh(8)).run(nt=30)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
+
+
+@pytest.mark.parametrize('bx', ['walls', 'periodic'])
+def test_sharded_2d_wind_closure_periodic_y_matches(bx):
+    """Same corner-exact mask folding on the 2-D decomposition."""
+    from climatemodel_tpu.parallel.halo import ShardedShallowWater2D
+    kw = _el_nino_kw(34, 18, bx, 'periodic')
+    ref = ShallowWater(**{k: (dict(v, wind=dict(v['wind']))
+                              if isinstance(v, dict) and 'wind' in v
+                              else (dict(v) if isinstance(v, dict) else v))
+                          for k, v in kw.items()})
+    ref.run(nt=25, snapshots=False)
+    world = ShallowWater(**kw)
+    mesh = make_mesh(('x', 'y'), shape=(4, 2), devices=jax.devices()[:8])
+    ShardedShallowWater2D(world, mesh).run(nt=25)
+    np.testing.assert_allclose(world.h, ref.h, rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(world.u, ref.u, atol=1e-12)
 
 
 def test_level_sharded_flux_with_shared_dtau():
