@@ -125,6 +125,27 @@ def test_pallas_lw_kernel_shape_fuzz():
         assert bool(jnp.all(us == uk) & jnp.all(ds == dk)), (n, b)
 
 
+def test_pallas_lw_packed_bit_matches_sequential():
+    """The sublane-packed (8,128)-tile variant (engaged at b >= 1024)
+    reproduces the sequential composition order bit-for-bit, incl. ragged
+    batch sizes that pad up to the 1024-member program width."""
+    from climatemodel_tpu.ops.pallas_two_stream import (SUBL, LANE,
+                                                        _lw_lanes_packed,
+                                                        lw_flux_lanes)
+    assert SUBL * LANE == 1024
+    rng = np.random.default_rng(21)
+    for n, b in [(60, 1024), (59, 1025), (24, 2048), (7, 1234)]:
+        T = jnp.asarray(200 + 100 * rng.random((n, b)), jnp.float32)
+        dtau = jnp.asarray(0.2 * rng.random((n, b)), jnp.float32)
+        toa = jnp.asarray(200 + 50 * rng.random((b,)), jnp.float32)
+        us, ds = lw_flux_sequential(T, dtau, toa)
+        uk, dk = lw_flux_lanes(T, dtau, toa, interpret=True)
+        assert bool(jnp.all(us == uk) & jnp.all(ds == dk)), (n, b)
+        # the dispatcher really routed to the packed grid
+        up, dp_ = _lw_lanes_packed(T, dtau, toa, interpret=True)
+        assert bool(jnp.all(up == uk) & jnp.all(dp_ == dk)), (n, b)
+
+
 def test_lw_flux_plain_matches_dispatcher_and_differentiates():
     """lw_flux_plain equals lw_flux (same scan on CPU) and composes with
     jax.jacfwd — the property the custom_vmap dispatcher lacks."""
