@@ -30,6 +30,7 @@ from jax.experimental import checkify
 
 from ..constants import g, c_p_dry, sigma, SECONDS_PER_DAY, SECONDS_PER_YEAR
 from ..ops.convection import convective_adjustment
+from ..ops.two_stream import percentile_topk_params
 
 
 # --------------------------------------------------------------------------
@@ -186,16 +187,30 @@ def _percentile_topk(x, pct):
     sticky non-finite sentinel)."""
     x = x.reshape(-1)
     n = x.shape[0]
-    q = (n - 1) * float(pct) / 100.0
-    k0 = int(np.floor(q))
-    frac = q - k0
-    m = n - k0
-    top = lax.top_k(x, m)[0]
+    m, frac = percentile_topk_params(n, pct)
     # top[0] is the global max, already computed: NaN there == NaN anywhere
+    top = lax.top_k(x, m)[0]
     nan_in = jnp.isnan(top[0])
     val = top[m - 1] if (frac == 0.0 or m < 2) else \
         top[m - 1] * (1 - frac) + top[m - 2] * frac
     return jnp.where(nan_in, jnp.asarray(jnp.nan, x.dtype), val)
+
+
+def _percentile_from_stats(top1, top_hi, top_lo, n, pct):
+    """:func:`_percentile_topk` evaluated from precomputed order statistics
+    (the fused net+stats kernel's outputs): same two order statistics, same
+    lerp, same NaN sentinel — bit-identical given bit-identical stats.
+    ``top_hi``/``top_lo`` are the (m-1)-th / m-th largest values; when
+    m == 1 the m-th largest IS the maximum, which the producer returns as
+    ``top1``."""
+    m, frac = percentile_topk_params(n, pct)
+    if m < 2:
+        val = top1
+    elif frac == 0.0:
+        val = top_lo
+    else:
+        val = top_lo * (1 - frac) + top_hi * frac
+    return jnp.where(jnp.isnan(top1), jnp.asarray(jnp.nan, val.dtype), val)
 
 
 # --------------------------------------------------------------------------
@@ -207,7 +222,8 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
                 net_flux_thresh: float = 1e-7, net_flux_percentile: float = 95,
                 conv_thresh: float = 1e-5, conv_t_multiplier: float = 5.0,
                 p_descending: bool = True, conv_method: str = 'reference',
-                net_flux_diff=None, compute_delta: bool = True):
+                net_flux_diff=None, compute_delta: bool = True,
+                delta_stats=None):
     """One finite-volume temperature update with adaptive dt.
 
     :param net_flux: [nz, ny] freshly computed net flux.
@@ -230,6 +246,10 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
         flux-change statistic (a full sort every step) and returns
         ``delta_net_flux=None`` — used by the ``check_every`` chunked-exit
         march, whose intermediate steps never consume it.
+    :param delta_stats: optional (top1, top_hi, top_lo) order statistics of
+        ``|net_flux - state.net_flux|`` precomputed by a fused flux+stats
+        operator (ops/two_stream.grey_net_with_stats); bit-identical
+        replacement for the in-place top_k (see _percentile_from_stats).
     :return: (new_state, delta_net_flux)
     """
     T = state.T
@@ -250,10 +270,14 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
                         active & ~tsi.removed)
     delta_net_flux = None
     if compute_delta:
-        delta_net_flux = jnp.where(
-            first_or_forced, jnp.asarray(1e6, T.dtype),
-            _percentile_topk(jnp.abs(net_flux - state.net_flux),
-                             net_flux_percentile).astype(T.dtype))
+        pctl = (_percentile_from_stats(*delta_stats, net_flux.size,
+                                       net_flux_percentile)
+                if delta_stats is not None else
+                _percentile_topk(jnp.abs(net_flux - state.net_flux),
+                                 net_flux_percentile))
+        delta_net_flux = jnp.where(first_or_forced,
+                                   jnp.asarray(1e6, T.dtype),
+                                   pctl.astype(T.dtype))
 
     any_allowed = jnp.any(allowed)
     tsi_new = update_time_step(tsi, tend_flat, allowed)
@@ -283,14 +307,17 @@ def update_temp(state: ColumnState, net_flux, p_interface, p_centre_col,
 
 @functools.partial(jax.jit, static_argnames=('use_delta_exit',))
 def check_equilibrium(net_flux, delta_net_flux, flux_thresh=1e-3,
-                      use_delta_exit=True):
+                      use_delta_exit=True, net_absmax=None):
     """max|F_net| < thresh or (optionally) delta F < thresh (base.py:248-264).
 
     ``use_delta_exit=False`` disables the reference's flux-stopped-changing
     shortcut and demands true flux balance — useful for per-column ensemble
     marches where the percentile criterion over a single small column exits
-    prematurely."""
-    eqb = jnp.max(jnp.abs(net_flux)) < flux_thresh
+    prematurely.  ``net_absmax`` optionally supplies a precomputed
+    max|net_flux| (the fused flux+stats operator's — bit-identical, max is
+    an exact selection)."""
+    absmax = jnp.max(jnp.abs(net_flux)) if net_absmax is None else net_absmax
+    eqb = absmax < flux_thresh
     if use_delta_exit:
         eqb = eqb | (delta_net_flux < flux_thresh)
     return eqb
@@ -328,7 +355,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                           use_delta_exit: bool = True,
                           conv_method: str = 'reference', i0=0,
                           final_reset: bool = True, check_every: int = 1,
-                          dip_memory: bool = False, debug: bool = False):
+                          dip_memory: bool = False, debug: bool = False,
+                          net_stats_fn: Callable | None = None):
     """jit-compiled while-loop march to radiative(-convective) equilibrium.
 
     :param net_flux_fn: T [nz-1, ny] -> net flux [nz, ny]; the model's fused
@@ -385,6 +413,12 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
         returned error on the host.  Numerics are unchanged — a healthy
         debug march is bit-identical to a plain one.  Requires per-step
         checking (``check_every=1``): the failing step IS the payload.
+    :param net_stats_fn: optional fused flux+statistics operator
+        ``(T, prev_net) -> (net, top1, top_hi, top_lo, max|net|)``
+        (ops/two_stream.grey_net_with_stats) replacing ``net_flux_fn`` AND
+        the in-march delta-percentile/flux-balance reductions with one
+        kernel pass — bit-identical by construction (the stats are
+        selections; the net assembly repeats the XLA op order).
     :return: (final ColumnState, EquilibriumInfo)
     """
     if debug and check_every > 1:
@@ -402,7 +436,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                        net_flux_percentile=net_flux_percentile,
                        p_descending=p_descending, use_delta_exit=use_delta_exit,
                        conv_method=conv_method, check_every=check_every,
-                       dip_memory=dip_memory, max_steps=max_steps, debug=debug)
+                       dip_memory=dip_memory, max_steps=max_steps,
+                       debug=debug, net_stats_fn=net_stats_fn)
 
     def cond(carry):
         _st, _ft, _delta, i, eqb, failed, nan, tout = carry
@@ -423,7 +458,8 @@ def evolve_to_equilibrium(state: ColumnState, net_flux_fn: Callable,
                             net_flux_percentile=net_flux_percentile,
                             p_descending=p_descending,
                             use_delta_exit=use_delta_exit,
-                            conv_method=conv_method)
+                            conv_method=conv_method,
+                            net_stats_fn=net_stats_fn)
         init = lax.while_loop(lambda c: cond(c) & (c[3] < 2), body1, init)
     st, ft, delta, i, eqb, failed, nan, tout = lax.while_loop(cond, body, init)
     if final_reset:
@@ -438,7 +474,7 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                 net_flux_thresh, net_flux_percentile, p_descending,
                 use_delta_exit, conv_method, check_every: int = 1,
                 dip_memory: bool = False, max_steps=None,
-                debug: bool = False):
+                debug: bool = False, net_stats_fn=None):
     """The shared march step over carry (state, ft, delta, i, eqb, failed,
     nan, timed_out) used by both the fused while_loop and the snapshot scan.
 
@@ -450,10 +486,20 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
     ``max_steps`` so the freeze also honours the step cap (a capped per-step
     march stops AT ``max_steps``, so the chunk must too)."""
     def step(st, compute_delta):
-        out = net_flux_fn(st.T)
-        # net_flux_fn may return (net, net_diff) with a better-conditioned
-        # adjacent-interface difference (see update_temp's net_flux_diff)
-        net, net_diff = out if isinstance(out, tuple) else (out, None)
+        if net_stats_fn is not None:
+            # fused flux + exit statistics (ops/two_stream.
+            # grey_net_with_stats): net, the delta order statistics and
+            # max|net| in one kernel pass — bit-identical to the split path
+            net, top1, top_hi, top_lo, absmax = net_stats_fn(st.T,
+                                                             st.net_flux)
+            net_diff, stats = None, (top1, top_hi, top_lo)
+        else:
+            out = net_flux_fn(st.T)
+            # net_flux_fn may return (net, net_diff) with a
+            # better-conditioned adjacent-interface difference (see
+            # update_temp's net_flux_diff)
+            net, net_diff = out if isinstance(out, tuple) else (out, None)
+            stats = absmax = None
         st, delta = update_temp(st, net, p_interface, p_centre_col,
                                 changing_tau=False,
                                 convective_adjust=convective_adjust,
@@ -464,14 +510,16 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
                                 p_descending=p_descending,
                                 conv_method=conv_method,
                                 net_flux_diff=net_diff,
-                                compute_delta=compute_delta)
-        return st, net, delta
+                                compute_delta=compute_delta,
+                                delta_stats=stats)
+        return st, net, delta, absmax
 
-    def exit_flags(st, net, delta, ft):
+    def exit_flags(st, net, delta, ft, absmax=None):
         """The per-step stop criteria, evaluated ONCE here so the per-step
         body and the dip-memory chunk cannot drift apart (their bit-identity
         is the dip feature's whole contract)."""
-        eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit)
+        eqb = check_equilibrium(st.net_flux, delta, ft, use_delta_exit,
+                                net_absmax=absmax)
         failed = jnp.min(st.T) < 0
         # NaN/inf sentinel (SURVEY §5 sanitizer row): abort the march on the
         # first non-finite temperature or flux instead of looping on garbage
@@ -497,13 +545,17 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
             def chunk_step(_, c):
                 st, i, delta, eqb, failed, nan, tout = c
                 stop = eqb | failed | nan | tout | (i >= max_steps)
-                st_new, net, d = step(st, compute_delta=True)
+                st_new, net, d, am = step(st, compute_delta=True)
                 st = jax.tree_util.tree_map(
                     lambda frozen, new: jnp.where(stop, frozen, new),
                     st, st_new)
                 delta = jnp.where(stop, delta, d)
                 i = i + jnp.where(stop, 0, 1)
-                hit, f_now, n_now, t_now = exit_flags(st, net, delta, ft)
+                # am describes the discarded step's net for frozen members,
+                # like net itself — harmless: every consumer below masks
+                # with ~stop
+                hit, f_now, n_now, t_now = exit_flags(st, net, delta, ft,
+                                                      absmax=am)
                 failed = failed | (f_now & ~stop)
                 nan = nan | (n_now & ~stop)
                 eqb = eqb | (hit & ~stop)
@@ -536,14 +588,14 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
             # cannot be missed, these two are history-based)
             def reduced(_, c):
                 st_r, i_r, f_r, n_r = c
-                st_r, net_r, _d = step(st_r, compute_delta=False)
+                st_r, net_r, _d, _am = step(st_r, compute_delta=False)
                 f_r = f_r | (jnp.min(st_r.T) < 0)
                 n_r = n_r | ~(jnp.all(jnp.isfinite(st_r.T))
                               & jnp.all(jnp.isfinite(net_r)))
                 return st_r, i_r + 1, f_r, n_r
             st, i, failed, nan = lax.fori_loop(
                 0, int(check_every) - 1, reduced, (st, i, failed, nan))
-        st, net, delta = step(st, compute_delta=True)
+        st, net, delta, absmax = step(st, compute_delta=True)
         if debug:
             # checkify user checks (SURVEY §5 sanitizer row): locate the
             # first failure instead of only freezing on it.  Order matters —
@@ -574,7 +626,8 @@ def _march_body(net_flux_fn, p_interface, p_centre_col, t0, *,
         # chunked-exit mode i==1 only occurs in the fully-checked two-step
         # prefix (evolve_to_equilibrium), which uses a check_every=1 body
         ft = jnp.where(i == 1, jnp.minimum(ft, 0.99 * delta), ft)
-        eqb, f_now, n_now, timed_out = exit_flags(st, net, delta, ft)
+        eqb, f_now, n_now, timed_out = exit_flags(st, net, delta, ft,
+                                                  absmax=absmax)
         failed = failed | f_now
         nan = nan | n_now
         return st, ft, delta, i + 1, eqb, failed, nan, timed_out

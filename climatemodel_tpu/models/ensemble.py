@@ -42,14 +42,15 @@ def grey_ensemble_forcing(world: GreyGas, F_stellar_values) -> GreyForcing:
 @functools.partial(jax.jit, static_argnames=('convective_adjust', 'max_steps',
                                              'net_flux_percentile',
                                              'use_delta_exit', 'conv_method',
-                                             'check_every', 'dip_memory'))
+                                             'check_every', 'dip_memory',
+                                             'fused_stats'))
 def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
                          p_interface, p_centre_col, flux_thresh,
                          convective_adjust=False, t_end=4.0, conv_thresh=1e-5,
                          conv_t_multiplier=5.0, net_flux_thresh=1e-7,
                          net_flux_percentile=95, max_steps=500_000,
                          use_delta_exit=True, conv_method='reference',
-                         check_every=1, dip_memory=False):
+                         check_every=1, dip_memory=False, fused_stats=False):
     """vmapped march-to-equilibrium over a leading ensemble axis of
     (states, forcings); the pressure grid is shared.
 
@@ -62,9 +63,29 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
     run lock-step at the slowest member's trip count, but after the
     dtype-aware instability tolerance (ops/convection.py _instability_tol)
     typical trip counts are 1-3 sweeps.  conv_method='isotonic' remains the
-    fully parallel variational alternative (Pallas lane-batched kernel)."""
+    fully parallel variational alternative (Pallas lane-batched kernel).
+
+    ``fused_stats=True`` computes the net flux AND the per-member exit
+    statistics (delta-percentile order statistics, max|net|) in ONE fused
+    Pallas pass per step (ops/two_stream.grey_net_with_stats) instead of
+    the flux kernel + separate XLA fusions/top_k — bit-identical by
+    construction; the T-independent sw fluxes and TOA boundary hoist out of
+    the loop (same expressions on the same inputs)."""
+    from ..ops.two_stream import grey_net_with_stats, sw_flux
+
     def one(state, forcing):
         net_fn = lambda T: grey_net_flux(T, forcing)
+        stats_fn = None
+        if fused_stats:
+            up_toa = (1.0 - forcing.albedo_mod) * \
+                forcing.solar_latitude_factor * forcing.F_stellar / 4.0
+            up_sw, down_sw = sw_flux(forcing.tau_sw_interface,
+                                     forcing.albedo_mod,
+                                     forcing.solar_latitude_factor,
+                                     forcing.F_stellar)
+            stats_fn = lambda T, prev: grey_net_with_stats(
+                T, forcing.dtau, up_toa, up_sw, down_sw, prev,
+                pct=net_flux_percentile)
         return column.evolve_to_equilibrium(
             state, net_fn, p_interface, p_centre_col, flux_thresh=flux_thresh,
             convective_adjust=convective_adjust, t_end=t_end,
@@ -72,7 +93,8 @@ def grey_evolve_ensemble(states: ColumnState, forcings: GreyForcing,
             net_flux_thresh=net_flux_thresh,
             net_flux_percentile=net_flux_percentile, max_steps=max_steps,
             use_delta_exit=use_delta_exit, conv_method=conv_method,
-            check_every=check_every, dip_memory=dip_memory)
+            check_every=check_every, dip_memory=dip_memory,
+            net_stats_fn=stats_fn)
     return jax.vmap(one)(states, forcings)
 
 

@@ -17,8 +17,11 @@ Beer law (grey.py:277-294) and need no scan.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..constants import sigma
@@ -184,6 +187,106 @@ def lw_flux_sequential(T, dtau, up_flux_toa, surface_first=True):
     if surface_first:
         up, down = jnp.flip(up, 0), jnp.flip(down, 0)
     return up, down
+
+
+def percentile_topk_params(n: int, pct) -> tuple[int, float]:
+    """(m, frac) of the exact-percentile order statistics: jnp.percentile's
+    default linear interpolation reads the m-th and (m-1)-th largest of n
+    values and lerps them by frac (see column._percentile_topk)."""
+    q = (n - 1) * float(pct) / 100.0
+    k0 = int(np.floor(q))
+    return n - k0, q - k0
+
+
+@functools.lru_cache(maxsize=None)
+def _net_stats_core_for(pct: float):
+    """Member-level fused net-flux + exit-statistics operator (cached per
+    static percentile), with a custom vmap rule that routes large f32
+    batches to the fused Pallas kernel on TPU.
+
+    The grey march consumes, every step: net = up_lw - down_lw + up_sw -
+    down_sw, the two order statistics of |net - prev_net| behind the
+    delta-percentile exit (base.py:248-264 via column._percentile_topk),
+    its NaN sentinel top_1, and max|net| for the flux-balance exit.
+    Computing them inside the flux kernel's VMEM walk removes the XLA
+    fusions + top_k sort that otherwise re-read the fluxes from HBM every
+    iteration (~40% of the profiled r05 ensemble step).  Everything the
+    kernel adds over the proven lw walk is add/sub/abs/min/max — bit-equal
+    to the XLA formulas by construction (selections + exact ops; |x|
+    removes the ±0 selection ambiguity)."""
+
+    def _stats_shapes(T):
+        n_stat = (T.shape[0] + 1) * T.shape[1]        # nz * ny values
+        m, _frac = percentile_topk_params(n_stat, pct)
+        return max(m, 2)
+
+    def _xla_batched(T, dtau, up_toa, up_sw, down_sw, prev_net):
+        """[B, nz-1, ny] member batch via the existing XLA path (vmapped
+        lw_flux + net assembly + per-member top_k) — the bit-identical
+        fallback for CPU, ny>1 or small batches."""
+        L = _stats_shapes(T[0])
+        up, down = jax.vmap(lw_flux)(T, dtau, up_toa)
+        net = up - down + up_sw - down_sw
+        x = jnp.abs(net - prev_net).reshape(net.shape[0], -1)
+        top = lax.top_k(x, L)[0]
+        absmax = jnp.max(jnp.abs(net).reshape(net.shape[0], -1), axis=1)
+        return net, top[:, 0], top[:, L - 2], top[:, L - 1], absmax
+
+    @jax.custom_batching.custom_vmap
+    def core(T, dtau, up_toa, up_sw, down_sw, prev_net):
+        """Single member [nz-1, ny]: (net [nz, ny], top1, top_{m-1}, top_m,
+        max|net|) with the top-k over |net - prev_net| flattened."""
+        L = _stats_shapes(T)
+        up, down = lw_flux(T, dtau, up_toa)
+        net = up - down + up_sw - down_sw
+        x = jnp.abs(net - prev_net).reshape(-1)
+        top = lax.top_k(x, L)[0]
+        return (net, top[0], top[L - 2], top[L - 1],
+                jnp.max(jnp.abs(net)))
+
+    @core.def_vmap
+    def _core_vmap_rule(axis_size, in_batched, T, dtau, up_toa, up_sw,
+                        down_sw, prev_net):
+        args = [T, dtau, up_toa, up_sw, down_sw, prev_net]
+        for k, b in enumerate(in_batched):
+            if not b:
+                args[k] = jnp.broadcast_to(args[k][None],
+                                           (axis_size,) + args[k].shape)
+        T, dtau, up_toa, up_sw, down_sw, prev_net = args
+        B, nlev, ny = T.shape
+        if T.dtype == jnp.float32 and ny == 1 and B >= 8:
+            L = _stats_shapes(T[0])
+
+            def _kernel_path(T, dtau, up_toa, up_sw, down_sw, prev_net):
+                from .pallas_two_stream import grey_net_stats_lanes
+                lanes = lambda x: x[:, :, 0].T                # [B,r,1]->[r,B]
+                net, top1, hi, lo, absmax = grey_net_stats_lanes(
+                    lanes(T), lanes(dtau), lanes(up_sw), lanes(down_sw),
+                    up_toa[:, 0], lanes(prev_net), L)
+                return net.T[:, :, None], top1, hi, lo, absmax
+
+            out = lax.platform_dependent(
+                T, dtau, up_toa, up_sw, down_sw, prev_net,
+                tpu=_kernel_path, default=_xla_batched)
+        else:
+            out = _xla_batched(T, dtau, up_toa, up_sw, down_sw, prev_net)
+        return out, (True,) * 5
+
+    return core
+
+
+def grey_net_with_stats(T, dtau, up_toa, up_sw, down_sw, prev_net, pct=95):
+    """Fused ``grey_net_flux`` + exit statistics (see _net_stats_core_for).
+
+    :param T, dtau: [nz-1, ny]; up_sw, down_sw, prev_net: [nz, ny];
+        up_toa: [ny].  The sw fluxes and up_toa are T-independent — hoist
+        them out of the march loop (bit-identical: same expressions on the
+        same inputs).
+    :param pct: static exit percentile (reference net_flux_percentile).
+    :return: (net [nz, ny], top1, top_hi, top_lo, absmax) member scalars.
+    """
+    return _net_stats_core_for(float(pct))(T, dtau, up_toa, up_sw, down_sw,
+                                           prev_net)
 
 
 def sw_flux(tau_sw_interface, albedo_mod, solar_latitude_factor, F_stellar,

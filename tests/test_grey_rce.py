@@ -269,6 +269,33 @@ def test_check_every_ensemble_path():
     assert float(err.max()) < 1.0
 
 
+def test_fused_stats_ensemble_bit_identical():
+    """fused_stats=True (the fused net+exit-statistics step) marches every
+    member to the BIT-IDENTICAL endpoint, step count and flags as the split
+    path — the whole contract of ops/two_stream.grey_net_with_stats (on CPU
+    this exercises the XLA fallback + the stats plumbing through
+    update_temp/check_equilibrium; the Pallas kernel itself is pinned
+    bit-exact in test_two_stream + on-chip)."""
+    import jax
+    import jax.numpy as jnp
+    from climatemodel_tpu.models import ensemble
+
+    world = GreyGas(nz=40, ny=1, tau_lw_func='exponential',
+                    tau_lw_func_args=[100000, 4],
+                    tau_sw_func='exponential', tau_sw_func_args=[80000, 0.2])
+    F = np.linspace(1100.0, 1600.0, 9)       # odd count: ragged lane pad
+    states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
+    ft = jnp.asarray(1e-3, world.dtype)
+    out0, info0 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=5000)
+    out1, info1 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
+                                                ft, max_steps=5000,
+                                                fused_stats=True)
+    for a, b in zip(jax.tree_util.tree_leaves((out0, info0)),
+                    jax.tree_util.tree_leaves((out1, info1))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_check_every_with_chunked_device_calls():
     """check_every composes with chunk_steps (the watchdog-bounded multi-call
     march): chunk re-entry passes i0 >= 2 so the fully-checked prefix no-ops,

@@ -146,6 +146,90 @@ def test_pallas_lw_packed_bit_matches_sequential():
         assert bool(jnp.all(up == uk) & jnp.all(dp_ == dk)), (n, b)
 
 
+def test_pallas_net_stats_kernel_bit_matches_xla_formulas():
+    """The fused net+stats kernel (interpret mode) reproduces the XLA path
+    bit-for-bit: net assembly order, lax.top_k order statistics of
+    |net - prev| and max|net| — across row/packed grids, ragged sizes and
+    top-k depths."""
+    from climatemodel_tpu.ops.pallas_two_stream import grey_net_stats_lanes
+    from climatemodel_tpu.ops.two_stream import percentile_topk_params
+    import jax.numpy as jnp
+    from jax import lax
+    rng = np.random.default_rng(33)
+    for n, b, pct in [(59, 4096, 95), (59, 130, 95), (149, 16, 95),
+                      (20, 1025, 90), (5, 9, 50)]:
+        T = jnp.asarray(200 + 100 * rng.random((n, b)), jnp.float32)
+        dtau = jnp.asarray(0.2 * rng.random((n, b)), jnp.float32)
+        toa = jnp.asarray(200 + 50 * rng.random((b,)), jnp.float32)
+        usw = jnp.asarray(100 * rng.random((n + 1, b)), jnp.float32)
+        dsw = jnp.asarray(300 * rng.random((n + 1, b)), jnp.float32)
+        prev = jnp.asarray(300 * rng.random((n + 1, b)) - 150, jnp.float32)
+        m, _ = percentile_topk_params(n + 1, pct)
+        L = max(m, 2)
+        net_k, top1, hi, lo, amax = grey_net_stats_lanes(
+            T, dtau, usw, dsw, toa, prev, L, interpret=True)
+        us, ds = lw_flux_sequential(T, dtau, toa)
+        net_x = us - ds + usw - dsw
+        top = lax.top_k(jnp.abs(net_k - prev).T, L)[0]
+        assert bool(jnp.all(net_k == net_x)), (n, b)
+        assert bool(jnp.all(top1 == top[:, 0])), (n, b)
+        assert bool(jnp.all(hi == top[:, L - 2])), (n, b)
+        assert bool(jnp.all(lo == top[:, L - 1])), (n, b)
+        assert bool(jnp.all(amax == jnp.max(jnp.abs(net_k), axis=0))), (n, b)
+
+
+def test_pallas_net_stats_kernel_nan_sentinel():
+    """A NaN anywhere in a member's |net - prev| poisons that member's top_1
+    (the march's NaN sentinel), and max|net| propagates NaN from net itself,
+    exactly like top_k / jnp.max."""
+    from climatemodel_tpu.ops.pallas_two_stream import grey_net_stats_lanes
+    import jax.numpy as jnp
+    rng = np.random.default_rng(34)
+    n, b = 12, 16
+    T = jnp.asarray(200 + 100 * rng.random((n, b)), jnp.float32)
+    dtau = jnp.asarray(0.2 * rng.random((n, b)), jnp.float32)
+    toa = jnp.asarray(200 + 50 * rng.random((b,)), jnp.float32)
+    usw = jnp.zeros((n + 1, b), jnp.float32)
+    dsw = jnp.zeros((n + 1, b), jnp.float32)
+    prev = jnp.zeros((n + 1, b), jnp.float32).at[4, 3].set(jnp.nan)
+    net, top1, hi, lo, amax = grey_net_stats_lanes(
+        T, dtau, usw, dsw, toa, prev, 3, interpret=True)
+    assert bool(jnp.isnan(top1[3])) and not bool(jnp.any(jnp.isnan(top1[:3])))
+    assert not bool(jnp.any(jnp.isnan(amax)))      # net itself is finite
+
+
+def test_grey_net_with_stats_matches_split_path():
+    """The member-level fused operator under vmap (the ensemble path, XLA
+    fallback on CPU) returns exactly grey_net_flux + the update_temp
+    percentile machinery's order statistics."""
+    import jax
+    from climatemodel_tpu.ops.two_stream import (grey_net_with_stats,
+                                                 percentile_topk_params)
+    rng = np.random.default_rng(35)
+    B, n, ny = 6, 30, 1
+    T = jnp.asarray(220 + 60 * rng.random((B, n, ny)))
+    dtau = jnp.asarray(0.15 * rng.random((B, n, ny)))
+    toa = jnp.asarray(200 + 40 * rng.random((B, ny)))
+    usw = jnp.asarray(50 * rng.random((B, n + 1, ny)))
+    dsw = jnp.asarray(340 * rng.random((B, n + 1, ny)))
+    prev = jnp.asarray(200 * rng.random((B, n + 1, ny)) - 100)
+    net, top1, hi, lo, amax = jax.vmap(
+        lambda t, d, u, us, ds, p: grey_net_with_stats(t, d, u, us, ds, p,
+                                                       pct=95))(
+        T, dtau, toa, usw, dsw, prev)
+    m, _ = percentile_topk_params((n + 1) * ny, 95)
+    for i in range(B):
+        up_i, dn_i = lw_flux(T[i], dtau[i], toa[i])
+        net_i = up_i - dn_i + usw[i] - dsw[i]
+        np.testing.assert_array_equal(np.asarray(net[i]), np.asarray(net_i))
+        from jax import lax
+        top = lax.top_k(jnp.abs(net_i - prev[i]).reshape(-1), m)[0]
+        assert float(top1[i]) == float(top[0])
+        assert float(hi[i]) == float(top[m - 2])
+        assert float(lo[i]) == float(top[m - 1])
+        assert float(amax[i]) == float(jnp.max(jnp.abs(net_i)))
+
+
 def test_lw_flux_plain_matches_dispatcher_and_differentiates():
     """lw_flux_plain equals lw_flux (same scan on CPU) and composes with
     jax.jacfwd — the property the custom_vmap dispatcher lacks."""
