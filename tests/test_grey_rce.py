@@ -287,7 +287,8 @@ def test_fused_stats_ensemble_bit_identical():
     states, forcings, p_int, p_c = ensemble.grey_ensemble(world, F)
     ft = jnp.asarray(1e-3, world.dtype)
     out0, info0 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
-                                                ft, max_steps=5000)
+                                                ft, max_steps=5000,
+                                                fused_stats=False)
     out1, info1 = ensemble.grey_evolve_ensemble(states, forcings, p_int, p_c,
                                                 ft, max_steps=5000,
                                                 fused_stats=True)
